@@ -1,0 +1,184 @@
+"""Energy kernel tests against a dense-math oracle.
+
+The oracle assembles the explicit sparse operators of the reference
+(G from geometry/mesh_utils.py:38-69 semantics; tet-graph Laplacian L;
+M = G^T L^T L G as in tssplat_ext/tet_spheres/tet_spheres.cpp:148) in
+float64 numpy and compares energies and gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tssplat_tpu.mesh import TetMesh, tet_sphere
+from tssplat_tpu.ops import (build_energy_ops, barrier_order,
+                             energy_coeff_schedule, smooth_barrier_energy,
+                             deformation_gradients)
+
+jax.config.update("jax_enable_x64", False)
+
+
+_MESH_CACHE = {}
+
+
+def make_mesh():
+    if "mesh" not in _MESH_CACHE:
+        verts, tets = tet_sphere(0.55, radius=1.0)
+        _MESH_CACHE["mesh"] = TetMesh(verts, tets)
+    return _MESH_CACHE["mesh"]
+
+
+def dense_G(mesh):
+    """(9T, 3N) float64 gradient operator: F_flat = G x_flat, row-major F,
+    x_flat = x.reshape(-1) with vertex-major [v0x,v0y,v0z,v1x,...]."""
+    dX_inv, _ = mesh.rest_matrices()
+    T, N = mesh.num_tets, mesh.num_vertices
+    G = np.zeros((9 * T, 3 * N))
+    for t in range(T):
+        vids = mesh.elem[t]
+        for r in range(3):
+            for c in range(3):
+                row = 9 * t + 3 * r + c
+                for k in range(3):
+                    # dx[r,k] = x[vids[k+1], r] - x[vids[0], r]
+                    G[row, 3 * vids[k + 1] + r] += dX_inv[t][k, c]
+                    G[row, 3 * vids[0] + r] -= dX_inv[t][k, c]
+    return G
+
+
+def dense_L9(mesh):
+    nbrs, deg = mesh.tet_neighbors()
+    T = mesh.num_tets
+    L = np.zeros((T, T))
+    for t in range(T):
+        L[t, t] = deg[t]
+        for n in nbrs[t]:
+            if n >= 0:
+                L[t, n] = -1.0
+    return np.kron(L, np.eye(9))
+
+
+def oracle_operators(mesh):
+    if "ops" not in _MESH_CACHE:
+        G = dense_G(mesh)
+        LG = dense_L9(mesh) @ G
+        _MESH_CACHE["ops"] = (G, LG)
+    return _MESH_CACHE["ops"]
+
+
+def oracle_energy_grad(mesh, x, c1, c2, order):
+    G, LG = oracle_operators(mesh)
+    xf = x.reshape(-1).astype(np.float64)
+    LGx = LG @ xf
+    e_smooth = 0.5 * LGx @ LGx
+    F = (G @ xf).reshape(-1, 3, 3)
+    J = np.linalg.det(F)
+    neg = np.maximum(-J, 0.0)
+    e_bar = np.sum(neg ** order)
+    energy = c1 * e_smooth + c2 * e_bar
+
+    grad = c1 * (LG.T @ LGx)
+    # barrier grad: dE/dF = -p*neg^(p-1) * cof(F) for inverted tets
+    dF = np.zeros_like(F)
+    for t in range(len(F)):
+        if J[t] < 0:
+            cof = np.linalg.det(F[t]) * np.linalg.inv(F[t]).T  # d det/dF
+            dF[t] = -order * neg[t] ** (order - 1) * cof
+    grad += c2 * (G.T @ dF.reshape(-1))
+    return energy, grad.reshape(-1, 3)
+
+
+class TestEnergy:
+    def test_zero_at_rest(self):
+        mesh = make_mesh()
+        ops = build_energy_ops(mesh)
+        x = jnp.asarray(mesh.vtx_init, dtype=jnp.float32)
+        e = smooth_barrier_energy(x, ops, 1.0, 1.0, 2)
+        assert abs(float(e)) < 1e-4
+
+    def test_zero_under_affine(self):
+        mesh = make_mesh()
+        ops = build_energy_ops(mesh)
+        A = np.array([[1.2, 0.1, 0.0], [0.0, 0.9, 0.2], [0.1, 0.0, 1.1]])
+        x = jnp.asarray(mesh.vtx_init @ A.T + np.array([0.3, -0.2, 0.5]),
+                        dtype=jnp.float32)
+        e = smooth_barrier_energy(x, ops, 1.0, 1.0, 2)
+        # affine => F constant => LF = 0; det(F) = det(A) > 0 => barrier 0
+        assert abs(float(e)) < 1e-3
+
+    @pytest.mark.parametrize("order", [2, 4])
+    def test_matches_dense_oracle(self, order, rng):
+        mesh = make_mesh()
+        ops = build_energy_ops(mesh)
+        x_np = mesh.vtx_init + rng.normal(scale=0.05, size=mesh.vtx_init.shape)
+        x = jnp.asarray(x_np, dtype=jnp.float32)
+        c1, c2 = 0.7, 1.3
+
+        e = float(smooth_barrier_energy(x, ops, c1, c2, order))
+        g = jax.grad(lambda xx: smooth_barrier_energy(xx, ops, c1, c2, order))(x)
+
+        e_ref, g_ref = oracle_energy_grad(mesh, x_np, c1, c2, order)
+        assert e == pytest.approx(e_ref, rel=2e-3)
+        np.testing.assert_allclose(np.asarray(g), g_ref, rtol=5e-3, atol=5e-3)
+
+    def test_barrier_activates_on_inversion(self):
+        mesh = make_mesh()
+        ops = build_energy_ops(mesh)
+        x_np = mesh.vtx_init.copy()
+        # collapse one tet's vertex through the opposite face to invert it
+        t0 = mesh.elem[0]
+        centroid = x_np[t0[1:]].mean(axis=0)
+        x_np[t0[0]] = 2 * centroid - x_np[t0[0]]
+        x = jnp.asarray(x_np, dtype=jnp.float32)
+        e_b = smooth_barrier_energy(x, ops, 0.0, 1.0, 2)
+        assert float(e_b) > 0
+
+    def test_grad_finite_difference(self, rng):
+        mesh = make_mesh()
+        ops = build_energy_ops(mesh)
+        x_np = (mesh.vtx_init + rng.normal(scale=0.05, size=mesh.vtx_init.shape)
+                ).astype(np.float64)
+
+        e_ref, g_ref = oracle_energy_grad(mesh, x_np, 1.0, 1.0, 2)
+        eps = 1e-5
+        for (i, j) in [(0, 0), (3, 1), (7, 2)]:
+            xp = x_np.copy(); xp[i, j] += eps
+            xm = x_np.copy(); xm[i, j] -= eps
+            ep, _ = oracle_energy_grad(mesh, xp, 1.0, 1.0, 2)
+            em, _ = oracle_energy_grad(mesh, xm, 1.0, 1.0, 2)
+            fd = (ep - em) / (2 * eps)
+            assert fd == pytest.approx(g_ref[i, j], rel=1e-3, abs=1e-5)
+
+    def test_jit_no_recompile_on_order(self):
+        mesh = make_mesh()
+        ops = build_energy_ops(mesh)
+        x = jnp.asarray(mesh.vtx_init, dtype=jnp.float32)
+        f = jax.jit(smooth_barrier_energy)
+        e2 = f(x, ops, 1.0, 1.0, jnp.asarray(2))
+        e4 = f(x, ops, 1.0, 1.0, jnp.asarray(4))
+        assert np.isfinite(float(e2)) and np.isfinite(float(e4))
+
+
+class TestSchedules:
+    def test_coeff_ramp(self):
+        s0, b0 = energy_coeff_schedule(0, 2e-4, 2e-4)
+        assert float(s0) == pytest.approx(2e-4, rel=1e-6)
+        s_end, _ = energy_coeff_schedule(1200, 2e-4, 2e-4)
+        assert float(s_end) == pytest.approx(16 * 2e-4, rel=1e-5)
+        s_mid, _ = energy_coeff_schedule(600, 2e-4, 2e-4)
+        assert 2e-4 < float(s_mid) < 16 * 2e-4
+
+    def test_order_switch(self):
+        assert int(barrier_order(999, 1000)) == 2
+        assert int(barrier_order(1000, 1000)) == 2
+        assert int(barrier_order(1001, 1000)) == 4
+
+
+def test_deformation_gradient_identity_at_rest():
+    mesh = make_mesh()
+    ops = build_energy_ops(mesh)
+    F = deformation_gradients(jnp.asarray(mesh.vtx_init, dtype=jnp.float32),
+                              ops.tets, ops.dX_inv)
+    eye = np.broadcast_to(np.eye(3), F.shape)
+    np.testing.assert_allclose(np.asarray(F), eye, atol=1e-4)
