@@ -1,12 +1,20 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding tests work without TPU hardware (SURVEY.md §4d)."""
+multi-chip sharding tests work without TPU hardware (SURVEY.md §4d).
+
+jax is pre-imported at interpreter startup in this environment, so env vars
+alone don't switch the platform — use jax.config before any backend use.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,335 @@
+"""Differentiable triangle rasterization: rasterize / interpolate / antialias.
+
+TPU-native replacement for nvdiffrast (reference usage:
+renderers/mesh_rasterizer.py:103-132). Same output contracts:
+
+  rasterize(pos_clip (B,V,4), tri (F,3), (H,W)) -> rast (B,H,W,4)
+      channels (u, v, z/w, tri_id+1); id 0 = background; (u,v) are
+      perspective-correct barycentrics of vertices 0 and 1.
+  interpolate(attr (V,C)|(B,V,C), rast, tri) -> (B,H,W,C)
+      attr = u*a0 + v*a1 + (1-u-v)*a2, zero on background.
+  antialias(color (B,H,W,C), rast, pos_clip, tri, edge_nbrs) -> (B,H,W,C)
+      silhouette-edge blending over horizontal/vertical pixel-neighbor
+      pairs; THE source of coverage gradients to vertex positions (the
+      reference's silhouette loss depends on dr.antialias the same way,
+      renderers/mesh_rasterizer.py:106-108).
+
+Structure (designed for TPU/XLA):
+  1. visibility search — non-differentiable argmin-z over triangles,
+     computed under stop_gradient in bounded-memory chunks (the Pallas
+     tile kernel drops in here);
+  2. differentiable shading — barycentrics/depth recomputed only for each
+     pixel's winning triangle via dense gathers, so autodiff reaches
+     vertex positions exactly like nvdiffrast's analytic backward;
+  3. antialias as a dense 2-pixel stencil with gathered triangle data —
+     no scatter in the forward pass.
+
+Conventions: pixel (row r, col c) center is NDC (x,y) =
+((c+.5)/W*2-1, (r+.5)/H*2-1) — row 0 at NDC y=-1 (bottom-up, OpenGL
+layout like nvdiffrast). Triangles are two-sided; triangles with any
+vertex at w <= eps are discarded (no near-plane clipping — scene content
+stays inside the frustum in this workload, cameras at radius 4, near 1e-3).
+Depth test keeps the smallest z/w in [-1, 1].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_W_EPS = 1e-9
+_AREA_EPS = 1e-14
+
+
+def _pixel_centers(resolution: Tuple[int, int], dtype=jnp.float32):
+    H, W = resolution
+    x = (jnp.arange(W, dtype=dtype) + 0.5) / W * 2.0 - 1.0
+    y = (jnp.arange(H, dtype=dtype) + 0.5) / H * 2.0 - 1.0
+    return x[None, :], y[:, None]                       # broadcastable (1,W),(H,1)
+
+
+def _edge(ax, ay, bx, by, px, py):
+    """2D cross product (b-a) x (p-a): positive when p is left of a->b."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def _screen(pos: jnp.ndarray):
+    """Clip (…,4) -> (sx, sy, szw, valid) NDC screen coords."""
+    w = pos[..., 3]
+    valid = w > _W_EPS
+    inv_w = jnp.where(valid, 1.0 / jnp.maximum(w, _W_EPS), 0.0)
+    return pos[..., 0] * inv_w, pos[..., 1] * inv_w, pos[..., 2] * inv_w, valid
+
+
+# ---------------------------------------------------------------------------
+# 1. Visibility search (non-differentiable)
+# ---------------------------------------------------------------------------
+
+def _rasterize_ids_one_view(pos: jnp.ndarray, tri: jnp.ndarray,
+                            resolution: Tuple[int, int], chunk: int) -> jnp.ndarray:
+    """One view: pos (V,4) -> winning (tri id+1) per pixel, (H,W) int32."""
+    H, W = resolution
+    F = tri.shape[0]
+    pad = (-F) % chunk
+    n_chunks = (F + pad) // chunk
+    tri_c = jnp.pad(tri, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    valid_c = jnp.pad(jnp.ones((F,), jnp.bool_), (0, pad)).reshape(n_chunks, chunk)
+    ids_c = (jnp.arange(n_chunks * chunk, dtype=jnp.int32) + 1).reshape(n_chunks, chunk)
+
+    sx, sy, sz, v_ok = _screen(pos)
+    px, py = _pixel_centers(resolution, pos.dtype)
+
+    def body(state, inp):
+        best_z, best_id = state
+        t, vc, ids = inp                                 # (C,3),(C,),(C,)
+        ax, ay = sx[t[:, 0]], sy[t[:, 0]]
+        bx, by = sx[t[:, 1]], sy[t[:, 1]]
+        cx, cy = sx[t[:, 2]], sy[t[:, 2]]
+        ok = vc & v_ok[t[:, 0]] & v_ok[t[:, 1]] & v_ok[t[:, 2]]
+
+        area = _edge(ax, ay, bx, by, cx, cy)
+        ok &= jnp.abs(area) > _AREA_EPS
+        inv_area = jnp.where(ok, 1.0 / jnp.where(ok, area, 1.0), 0.0)
+
+        e0 = _edge(bx[:, None, None], by[:, None, None], cx[:, None, None],
+                   cy[:, None, None], px[None], py[None])        # (C,H,W)
+        e1 = _edge(cx[:, None, None], cy[:, None, None], ax[:, None, None],
+                   ay[:, None, None], px[None], py[None])
+        e2 = _edge(ax[:, None, None], ay[:, None, None], bx[:, None, None],
+                   by[:, None, None], px[None], py[None])
+        ia = inv_area[:, None, None]
+        l0, l1, l2 = e0 * ia, e1 * ia, e2 * ia
+        covered = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & ok[:, None, None]
+
+        z = (l0 * sz[t[:, 0], None, None] + l1 * sz[t[:, 1], None, None]
+             + l2 * sz[t[:, 2], None, None])
+        covered &= (z >= -1.0) & (z <= 1.0)
+        z = jnp.where(covered, z, jnp.inf)
+
+        k = jnp.argmin(z, axis=0)                        # (H,W)
+        zmin = jnp.take_along_axis(z, k[None], axis=0)[0]
+        idmin = ids[k]
+        take = zmin < best_z
+        return (jnp.where(take, zmin, best_z),
+                jnp.where(take, idmin, best_id)), None
+
+    init = (jnp.full((H, W), jnp.inf, pos.dtype), jnp.zeros((H, W), jnp.int32))
+    (_, ids), _ = jax.lax.scan(body, init, (tri_c, valid_c, ids_c))
+    return ids
+
+
+def rasterize_ids(pos_clip: jnp.ndarray, tri: jnp.ndarray,
+                  resolution: Tuple[int, int], chunk: int = 64) -> jnp.ndarray:
+    """Winning triangle ids (+1, 0=background) per pixel: (B,H,W) int32.
+
+    Pure forward visibility; always evaluated under stop_gradient. Views are
+    processed sequentially (lax.map) to bound memory at (chunk,H,W)."""
+    pos_clip = jax.lax.stop_gradient(pos_clip)
+    f = functools.partial(_rasterize_ids_one_view, tri=tri,
+                          resolution=resolution, chunk=chunk)
+    return jax.lax.map(f, pos_clip)
+
+
+# ---------------------------------------------------------------------------
+# 2. Differentiable shading of the winners
+# ---------------------------------------------------------------------------
+
+def _gather_tri_clip(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray):
+    """Per-pixel clip-space vertices of the winning triangle: (B,…,3,4)."""
+    t = jnp.maximum(ids - 1, 0)                          # (B,H,W)
+    tv = tri[t]                                          # (B,H,W,3)
+    B = pos_clip.shape[0]
+    bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)), 1)
+    return pos_clip[bidx, tv]                            # (B,H,W,3,4)
+
+
+def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
+                resolution: Tuple[int, int]) -> jnp.ndarray:
+    v = _gather_tri_clip(pos_clip, tri, ids)             # (B,H,W,3,4)
+    sx, sy, szw, _ = _screen(v)                          # each (B,H,W,3)
+    px, py = _pixel_centers(resolution, pos_clip.dtype)  # (1,W),(H,1)
+    px = px[None]
+    py = py[None]
+
+    ax, bx, cx = sx[..., 0], sx[..., 1], sx[..., 2]
+    ay, by, cy = sy[..., 0], sy[..., 1], sy[..., 2]
+    area = _edge(ax, ay, bx, by, cx, cy)
+    safe_area = jnp.where(jnp.abs(area) > _AREA_EPS, area, 1.0)
+    l0 = _edge(bx, by, cx, cy, px, py) / safe_area
+    l1 = _edge(cx, cy, ax, ay, px, py) / safe_area
+    l2 = _edge(ax, ay, bx, by, px, py) / safe_area
+
+    # perspective-correct barycentrics: weight by 1/w
+    iw = jnp.where(v[..., 3] > _W_EPS, 1.0 / jnp.maximum(v[..., 3], _W_EPS), 0.0)
+    d0, d1, d2 = l0 * iw[..., 0], l1 * iw[..., 1], l2 * iw[..., 2]
+    s = d0 + d1 + d2
+    s = jnp.where(jnp.abs(s) > _W_EPS, s, 1.0)
+    u = d0 / s
+    vv = d1 / s
+    zbuf = l0 * szw[..., 0] + l1 * szw[..., 1] + l2 * szw[..., 2]
+
+    fg = (ids > 0).astype(pos_clip.dtype)
+    rast = jnp.stack([u * fg, vv * fg, zbuf * fg, ids.astype(pos_clip.dtype)],
+                     axis=-1)
+    return rast
+
+
+def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
+              resolution: Tuple[int, int], chunk: int = 64,
+              ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Full rasterization: (B,H,W,4) = (u, v, z/w, id+1).
+
+    ``ids`` may be supplied by an external visibility kernel (the Pallas
+    path); otherwise the chunked jnp search runs. Differentiable w.r.t.
+    pos_clip through (u, v, z/w) for fixed visibility, like nvdiffrast
+    with grad_db=False (reference renderers/mesh_rasterizer.py:103-104).
+    """
+    if ids is None:
+        ids = rasterize_ids(pos_clip, tri, resolution, chunk)
+    return _shade_rast(pos_clip, tri, ids, resolution)
+
+
+def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric attribute interpolation (nvdiffrast dr.interpolate,
+    reference renderers/mesh_rasterizer.py:117-118,145,153).
+
+    attr: (V,C) shared across views or (B,V,C) per-view."""
+    ids = rast[..., 3].astype(jnp.int32)                 # (B,H,W)
+    t = jnp.maximum(ids - 1, 0)
+    tv = tri[t]                                          # (B,H,W,3)
+    if attr.ndim == 2:
+        a = attr[tv]                                     # (B,H,W,3,C)
+    else:
+        B = attr.shape[0]
+        bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)), 1)
+        a = attr[bidx, tv]
+    u = rast[..., 0:1]
+    v = rast[..., 1:2]
+    out = a[..., 0, :] * u + a[..., 1, :] * v + a[..., 2, :] * (1.0 - u - v)
+    return out * (ids > 0)[..., None].astype(out.dtype)
+
+
+# ---------------------------------------------------------------------------
+# 3. Antialiasing (silhouette-edge coverage blending)
+# ---------------------------------------------------------------------------
+
+def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, xy_a_tris, xy_b_tris,
+              pa, pb, tri_a, tri_b, edge_nbrs):
+    """Compute AA color deltas for one axis of pixel pairs.
+
+    a/b are the two pixels of each pair; p* are their NDC centers (…,2);
+    xy_*_tris are each pixel's winning-triangle screen vertices (…,3,2).
+    Returns (delta_a, delta_b) to add to the respective pixel colors.
+    """
+    differ = (id_a != id_b) & ((id_a > 0) | (id_b > 0))
+    # Owner = foreground triangle at the boundary: prefer non-background,
+    # then smaller depth.
+    owner_a = jnp.where(id_a == 0, False,
+                        jnp.where(id_b == 0, True, z_a <= z_b))
+    own_tri = jnp.where(owner_a, tri_a, tri_b)           # (…) int32 tri index
+    other_tri = jnp.where(owner_a, tri_b, tri_a)
+    xy = jnp.where(owner_a[..., None, None], xy_a_tris, xy_b_tris)  # (…,3,2)
+
+    # inside-positive edge functions at both pixel centers
+    p0, p1, p2 = xy[..., 0, :], xy[..., 1, :], xy[..., 2, :]
+    area = _edge(p0[..., 0], p0[..., 1], p1[..., 0], p1[..., 1],
+                 p2[..., 0], p2[..., 1])
+    sgn = jnp.sign(area)
+
+    def edge_vals(P, Q, X):
+        return _edge(P[..., 0], P[..., 1], Q[..., 0], Q[..., 1],
+                     X[..., 0], X[..., 1]) * sgn
+
+    # edge slots match triangle_edge_neighbors: (0,1), (1,2), (2,0)
+    sa = jnp.stack([edge_vals(p0, p1, pa), edge_vals(p1, p2, pa),
+                    edge_vals(p2, p0, pa)], axis=-1)     # (…,3)
+    sb = jnp.stack([edge_vals(p0, p1, pb), edge_vals(p1, p2, pb),
+                    edge_vals(p2, p0, pb)], axis=-1)
+
+    denom = sa - sb
+    safe = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+    t_all = sa / safe                                    # crossing param along a->b
+
+    # owner at A: coverage region [0, t]; exit crossing = min over sa>=0>sb
+    cross_exit = (sa >= 0) & (sb < 0)
+    t_exit = jnp.where(cross_exit, t_all, jnp.inf)
+    k_exit = jnp.argmin(t_exit, axis=-1)
+    # owner at B: coverage region [t, 1]; entry crossing = max over sa<0<=sb
+    cross_entry = (sa < 0) & (sb >= 0)
+    t_entry = jnp.where(cross_entry, t_all, -jnp.inf)
+    k_entry = jnp.argmax(t_entry, axis=-1)
+
+    k = jnp.where(owner_a, k_exit, k_entry)
+    t = jnp.where(owner_a,
+                  jnp.take_along_axis(t_exit, k_exit[..., None], -1)[..., 0],
+                  jnp.take_along_axis(t_entry, k_entry[..., None], -1)[..., 0])
+    found = jnp.isfinite(t)
+
+    # silhouette check: the crossing edge must not be shared with the other
+    # pixel's triangle (interior edges don't blend; background never shares)
+    nbr = edge_nbrs[own_tri, k]                          # (…)
+    shared = (nbr == other_tri) & (other_tri >= 0) & \
+             jnp.where(owner_a, id_b > 0, id_a > 0)
+
+    valid = differ & found & ~shared
+    t = jnp.clip(jnp.where(valid, t, 0.5), 0.0, 1.0)
+
+    w_a = jnp.maximum(0.5 - t, 0.0) * valid              # blend into pixel a
+    w_b = jnp.maximum(t - 0.5, 0.0) * valid              # blend into pixel b
+    delta_a = (color_b - color_a) * w_a[..., None]
+    delta_b = (color_a - color_b) * w_b[..., None]
+    return delta_a, delta_b
+
+
+def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
+              tri: jnp.ndarray, edge_nbrs: jnp.ndarray) -> jnp.ndarray:
+    """Analytic silhouette antialiasing (nvdiffrast dr.antialias semantics,
+    pos_gradient_boost=1; reference renderers/mesh_rasterizer.py:107-108,128-129).
+
+    For each horizontally/vertically adjacent pixel pair with differing
+    triangle ids, the foreground triangle's silhouette edge crossing the
+    segment between the pixel centers determines a coverage fraction; the
+    pixel on the receding side is blended toward its neighbor's color.
+    Gradients flow to ``pos_clip`` via the crossing location and to both
+    colors. ``edge_nbrs`` is the (F,3) edge-adjacency from
+    mesh.surface.triangle_edge_neighbors (-1 = open edge).
+    """
+    B, H, W, C = color.shape
+    ids = rast[..., 3].astype(jnp.int32)
+    z = rast[..., 2]
+    tri_idx = jnp.maximum(ids - 1, 0)
+
+    v = _gather_tri_clip(pos_clip, tri, ids)             # (B,H,W,3,4)
+    sx, sy, _, _ = _screen(v)
+    xy = jnp.stack([sx, sy], axis=-1)                    # (B,H,W,3,2)
+
+    px, py = _pixel_centers((H, W), color.dtype)
+    pcent = jnp.stack([jnp.broadcast_to(px, (H, W)),
+                       jnp.broadcast_to(py, (H, W))], axis=-1)  # (H,W,2)
+    pcent = jnp.broadcast_to(pcent[None], (B, H, W, 2))
+
+    out = color
+
+    # horizontal pairs: a = (r,c), b = (r,c+1)
+    da, db = _aa_pairs(color[:, :, :-1], color[:, :, 1:],
+                       ids[:, :, :-1], ids[:, :, 1:],
+                       z[:, :, :-1], z[:, :, 1:],
+                       xy[:, :, :-1], xy[:, :, 1:],
+                       pcent[:, :, :-1], pcent[:, :, 1:],
+                       tri_idx[:, :, :-1], tri_idx[:, :, 1:], edge_nbrs)
+    out = out + jnp.pad(da, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    out = out + jnp.pad(db, ((0, 0), (0, 0), (1, 0), (0, 0)))
+
+    # vertical pairs: a = (r,c), b = (r+1,c)
+    da, db = _aa_pairs(color[:, :-1], color[:, 1:],
+                       ids[:, :-1], ids[:, 1:],
+                       z[:, :-1], z[:, 1:],
+                       xy[:, :-1], xy[:, 1:],
+                       pcent[:, :-1], pcent[:, 1:],
+                       tri_idx[:, :-1], tri_idx[:, 1:], edge_nbrs)
+    out = out + jnp.pad(da, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    out = out + jnp.pad(db, ((0, 0), (1, 0), (0, 0), (0, 0)))
+    return out
