@@ -1,0 +1,231 @@
+"""Multi-sphere tet geometry: the config-selected geometry of the pipeline
+(reference: TetMeshMultiSphereGeometry, geometry/tetmesh_geometry.py:200-382)
+and the skeleton-sweep variant (reference: geometry/tetmesh_fish.py).
+
+Init paths, mirroring the reference exactly in behavior:
+  A (fresh): read key-points JSON {pt, r}; per sphere, build a tet ball at
+     the target edge length (reference: template icosphere -> pypgo remesh ->
+     TetWild subprocess, :268-303; here: native Fibonacci-shell Delaunay
+     tetrahedralization — spheres are convex, so Delaunay is exact and no
+     external mesher is needed; a TetWild subprocess path is kept for strict
+     parity when an executable is configured); concatenate all spheres with
+     vertex offsets into one disjoint tet mesh; persist final_tet_v/t.npy and
+     per-sphere index JSONs (:339-345).
+  B (precomputed): load final_tet_v/t.npy + index JSONs (:347-354).
+  C (resume): initial_mesh_path -> final.veg + index JSONs (:221-231).
+
+The smoothness coefficient is scaled by 1/num_spheres (:242-243) and the
+target edge length comes from the minimum sphere radius so every sphere gets
+>= ~100 surface triangles, clamped to [0.015, 0.03] (:251-266).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import math
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..config import parse_structured, GEOMETRIES
+from ..mesh.tetmesh import TetMesh
+from ..mesh.spheres import tet_sphere, tet_capsule, load_template_sphere
+from .tet_geometry import TetMeshGeometry
+
+
+def target_edge_length(min_radius: float, min_n_triangles: int = 100,
+                       edge_length_wrt_bb: float = 0.03,
+                       edge_length_min: float = 0.015) -> float:
+    """Edge length so the smallest sphere gets >= min_n_triangles surface
+    triangles, clamped to [edge_length_min, edge_length_wrt_bb]
+    (reference: geometry/tetmesh_geometry.py:251-266)."""
+    min_surface_area = min_radius * min_radius * math.pi
+    min_triangle_area = min_surface_area / min_n_triangles
+    edge_wrt_tris = math.sqrt(min_triangle_area * 4.0 / math.sqrt(3.0))
+    return max(edge_length_min, min(edge_length_wrt_bb, edge_wrt_tris))
+
+
+def _concat_spheres(parts):
+    """Concatenate per-sphere (verts, tets) with vertex-index offsets into one
+    disjoint mesh. Returns (v, t, vtx_idx_lists, elem_lists) matching the
+    reference's bookkeeping (geometry/tetmesh_geometry.py:305-340): elem lists
+    are stored in *local* (per-sphere) vertex indices."""
+    all_v, all_t, vtx_idx, elem_idx = [], [], [], []
+    base = 0
+    for (v, t) in parts:
+        all_v.append(np.asarray(v, np.float64))
+        all_t.append(np.asarray(t, np.int64) + base)
+        vtx_idx.append(list(range(base, base + v.shape[0])))
+        elem_idx.append(np.asarray(t, np.int64).tolist())
+        base += v.shape[0]
+    return (np.concatenate(all_v, axis=0), np.concatenate(all_t, axis=0),
+            vtx_idx, elem_idx)
+
+
+async def _run_tetwild(cmd: str):
+    proc = await asyncio.create_subprocess_shell(cmd)
+    await proc.wait()
+
+
+def _tetwild_spheres(key_pts, key_r, edge_len, template_path, tetwild_exec,
+                     cache_folder):
+    """Strict-parity path: per-sphere TetWild subprocesses run concurrently
+    (reference: geometry/tetmesh_geometry.py:271-315). Requires a forked
+    TetWild that emits .msh_VO.npy/.msh_TO.npy."""
+    os.makedirs(cache_folder, exist_ok=True)
+    tv, tf = load_template_sphere(template_path)
+    from ..mesh.io import save_obj
+
+    cmds = []
+    for i, (c, r) in enumerate(zip(key_pts, key_r)):
+        sv = tv * r + c
+        obj = os.path.join(cache_folder, f"temp{i}.obj")
+        save_obj(obj, sv, tf)
+        out = os.path.join(cache_folder, f"temp{i}.msh")
+        cmds.append(f"{tetwild_exec} --input {obj} --output {out} "
+                    f"--targeted-num-v {sv.shape[0]} --epsilon 0.001 --is-quiet")
+
+    async def run_all():
+        await asyncio.gather(*[_run_tetwild(c) for c in cmds])
+
+    asyncio.run(run_all())
+
+    parts = []
+    for i in range(len(key_pts)):
+        v = np.load(os.path.join(cache_folder, f"temp{i}.msh_VO.npy"))
+        t = np.load(os.path.join(cache_folder, f"temp{i}.msh_TO.npy"))
+        parts.append((v.astype(np.float64), t.astype(np.int64)))
+    return parts
+
+
+@GEOMETRIES.register("TetMeshMultiSphereGeometry")
+class TetMeshMultiSphereGeometry(TetMeshGeometry):
+    @dataclass
+    class Config(TetMeshGeometry.Config):
+        template_surface_sphere_path: str = ""
+        key_points_file_path: str = ""
+        tetwild_exec: str = ""
+        tetwild_cache_folder: str = ".tetwild_cache"
+        load_precomputed_tetwild_mesh: bool = False
+        output_path: str = "."
+        debug_mode: bool = False
+
+    def __init__(self, cfg=None):
+        self.cfg = parse_structured(self.Config, cfg)
+        c = self.cfg
+        self._smooth_coeff_scale = 1.0
+
+        if c.initial_mesh_path:
+            # Path C: resume from a previous run's artifacts.
+            tetmesh = TetMesh.from_veg(os.path.join(c.initial_mesh_path, "final.veg"))
+            with open(os.path.join(c.initial_mesh_path, "spheres_vtx_idx.json")) as f:
+                self.all_spheres_vtx_idx = json.load(f)
+            with open(os.path.join(c.initial_mesh_path, "spheres_elem_idx.json")) as f:
+                self.all_spheres_elem_idx = json.load(f)
+            self._smooth_coeff_scale = 1.0 / max(len(self.all_spheres_vtx_idx), 1)
+        else:
+            cache = c.tetwild_cache_folder
+            final_dir = os.path.join(c.output_path, "final")
+            os.makedirs(final_dir, exist_ok=True)
+
+            if c.load_precomputed_tetwild_mesh:
+                # Path B.
+                v = np.load(os.path.join(cache, "final_tet_v.npy"))
+                t = np.load(os.path.join(cache, "final_tet_t.npy"))
+                with open(os.path.join(final_dir, "spheres_vtx_idx.json")) as f:
+                    vtx_idx = json.load(f)
+                with open(os.path.join(final_dir, "spheres_elem_idx.json")) as f:
+                    elem_idx = json.load(f)
+            else:
+                # Path A: fresh build from key points.
+                with open(c.key_points_file_path) as f:
+                    skel = json.load(f)
+                pts = np.asarray(skel["pt"], np.float64).reshape(-1, 3)
+                radii = np.asarray(skel["r"], np.float64).reshape(-1)
+                edge_len = target_edge_length(float(radii.min()))
+
+                usable_tetwild = bool(c.tetwild_exec) and \
+                    c.tetwild_exec.lower() not in ("none", "null") and \
+                    os.path.exists(str(c.tetwild_exec))
+                if usable_tetwild:
+                    parts = _tetwild_spheres(pts, radii, edge_len,
+                                             c.template_surface_sphere_path,
+                                             c.tetwild_exec, cache)
+                else:
+                    parts = [tet_sphere(edge_len, radius=float(r), center=p)
+                             for p, r in zip(pts, radii)]
+
+                v, t, vtx_idx, elem_idx = _concat_spheres(parts)
+                os.makedirs(cache, exist_ok=True)
+                np.save(os.path.join(cache, "final_tet_v.npy"), v)
+                np.save(os.path.join(cache, "final_tet_t.npy"), t)
+                with open(os.path.join(final_dir, "spheres_vtx_idx.json"), "w") as f:
+                    json.dump(vtx_idx, f)
+                with open(os.path.join(final_dir, "spheres_elem_idx.json"), "w") as f:
+                    json.dump(elem_idx, f)
+
+            self.all_spheres_vtx_idx = vtx_idx
+            self.all_spheres_elem_idx = elem_idx
+            self._smooth_coeff_scale = 1.0 / max(len(vtx_idx), 1)
+            tetmesh = TetMesh(v, t)
+
+        self.tetmesh = tetmesh
+        self.setup()
+
+        if c.debug_mode:
+            self.tetmesh.save("debug", "debug_multi_spheres",
+                              save_surface_mesh=True)
+
+    @property
+    def num_spheres(self) -> int:
+        return len(self.all_spheres_vtx_idx)
+
+    def export(self, path: str, filename: str, **kwargs) -> None:
+        super().export(path, filename, **kwargs)
+        # per-sphere artifacts (reference :373-382)
+        for i, vid in enumerate(self.all_spheres_vtx_idx):
+            np.save(os.path.join(path, f"{filename}_sp{i}_vtx.npy"),
+                    self.tet_v_np[vid, :])
+            np.save(os.path.join(path, f"{filename}_sp{i}_elem.npy"),
+                    np.asarray(self.all_spheres_elem_idx[i]))
+
+
+@GEOMETRIES.register("TetMeshFish")
+@GEOMETRIES.register("TetMeshSkeletonGeometry")
+class TetMeshSkeletonGeometry(TetMeshGeometry):
+    """Skeleton-edge sweep geometry: one tet capsule per skeleton edge
+    (reference: geometry/tetmesh_fish.py:38-132, which sweeps spheres along
+    edges via pypgo.create_tetsphere_edge_surface + TetWild; a round-capped
+    cone-sphere is convex, so the native Delaunay tetrahedralizer applies)."""
+
+    @dataclass
+    class Config(TetMeshGeometry.Config):
+        key_points_file_path: str = ""
+        output_path: str = "."
+        debug_mode: bool = False
+
+    def __init__(self, cfg=None):
+        self.cfg = parse_structured(self.Config, cfg)
+        c = self.cfg
+        with open(c.key_points_file_path) as f:
+            skel = json.load(f)
+        # {"centers": [[p0, p1], ...] edge endpoints, "radii": [[r0, r1], ...]}
+        centers = np.asarray(skel["centers"], np.float64)
+        radii = np.asarray(skel["radii"], np.float64)
+        edge_len = target_edge_length(float(radii.min()))
+
+        parts = [tet_capsule(edge_len, p0=centers[i, 0], p1=centers[i, 1],
+                             r0=float(radii[i, 0]), r1=float(radii[i, 1]))
+                 for i in range(centers.shape[0])]
+        v, t, vtx_idx, elem_idx = _concat_spheres(parts)
+        self.all_spheres_vtx_idx = vtx_idx
+        self.all_spheres_elem_idx = elem_idx
+        self._smooth_coeff_scale = 1.0 / max(len(vtx_idx), 1)
+
+        self.tetmesh = TetMesh(v, t)
+        self.setup()
+        if c.debug_mode:
+            self.tetmesh.save("debug", "debug_skeleton", save_surface_mesh=True)

@@ -5,8 +5,8 @@ The reference pipeline turns each initial sphere into a tet mesh by
 (b) isotropic remeshing via libpgo, and (c) spawning a TetWild subprocess
 per sphere (reference: geometry/tetmesh_geometry.py:268-303). TetWild is a
 general surface→tet mesher, but in this pipeline its input is always a
-sphere — a convex body — so a Delaunay tetrahedralization of well-spaced
-points (concentric Fibonacci shells + center) produces an equivalent
+sphere (or a swept capsule) — a convex body — so a Delaunay
+tetrahedralization of a well-spaced point set produces an equivalent
 high-quality tet ball natively, with no external executable. TetWild
 subprocess orchestration is still supported for strict parity
 (tssplat_tpu/geometry/multisphere.py).
@@ -77,49 +77,136 @@ def _tet_volumes(verts: np.ndarray, tets: np.ndarray) -> np.ndarray:
     return np.einsum("ij,ij->i", np.cross(d1, d2), d3) / 6.0
 
 
-def tet_sphere(target_edge_length: float, radius: float = 1.0,
-               center=(0.0, 0.0, 0.0), min_surface_points: int = 64,
-               rng: Optional[np.random.Generator] = None
-               ) -> Tuple[np.ndarray, np.ndarray]:
-    """Tetrahedralize a ball of given radius into well-shaped tets.
+def _bcc_lattice(lo: np.ndarray, hi: np.ndarray, a: float) -> np.ndarray:
+    """Body-centered-cubic lattice covering [lo, hi] with cube size ``a`` —
+    the optimal point lattice for Delaunay tet quality (its Delaunay cells
+    are well-shaped disphenoid tets)."""
+    axes = [np.arange(lo[d] - a, hi[d] + 2 * a, a) for d in range(3)]
+    g = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+    return np.concatenate([g, g + 0.5 * a], axis=0)
 
-    Point set: concentric Fibonacci shells spaced by ``target_edge_length``
-    plus the center, Delaunay-tetrahedralized (exact for a convex body).
-    Tets are reoriented to positive volume and slivers on the hull are kept
-    (Delaunay of shell points produces near-regular tets; degenerate
-    zero-volume tets are dropped).
 
-    Returns (verts (N,3) float64, tets (T,4) int64).
+def tet_ball_union(target_edge_length: float, centers, radii,
+                   min_surface_points: int = 64
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Tetrahedralize the convex hull of a union of balls (one ball -> the
+    ball; balls along a segment -> a cone-sphere capsule).
+
+    Point set: per-ball Fibonacci surface samples kept only where they are
+    not inside another ball (the union surface), plus a jittered BCC
+    interior lattice. Delaunay-tetrahedralized (exact for convex bodies).
+    The BCC interior + jitter avoids the co-spherical degeneracies that
+    concentric-shell point sets hand to Delaunay (sliver tets with huge
+    rest-matrix inverses would poison the energy kernels' conditioning).
+
+    Returns (verts (N,3) float64, tets (T,4) int64), tets positively
+    oriented, degenerate cells dropped.
     """
     h = float(target_edge_length)
-    n_shells = max(1, int(round(radius / h)))
-    pts = [np.zeros((1, 3))]
-    for s in range(1, n_shells + 1):
-        r = radius * s / n_shells
-        # Shell point count so nearest-neighbor spacing ~ h on the shell:
-        # area 4*pi*r^2, one point per (sqrt(3)/4)*h^2 hex-packing cell.
-        n = max(min_surface_points if s == n_shells else 12,
-                int(round(4.0 * math.pi * r * r / (math.sqrt(3.0) / 2.0 * h * h))))
-        shell = fibonacci_sphere(n, r)
-        if s < n_shells and rng is not None:
-            shell = shell + rng.normal(scale=0.05 * h, size=shell.shape)
-            shell *= np.minimum(1.0, (radius * (s + 0.45) / n_shells)
-                                / np.linalg.norm(shell, axis=1))[:, None]
-        pts.append(shell)
-    verts = np.concatenate(pts, axis=0)
+    centers = np.asarray(centers, np.float64).reshape(-1, 3)
+    radii = np.asarray(radii, np.float64).reshape(-1)
 
+    # union surface samples
+    surf, normals = [], []
+    for j, (c, r) in enumerate(zip(centers, radii)):
+        n = max(min_surface_points,
+                int(round(4.0 * math.pi * r * r / (math.sqrt(3.0) / 2.0 * h * h))))
+        p = fibonacci_sphere(n, r) + c
+        if centers.shape[0] > 1:
+            d = np.linalg.norm(p[:, None, :] - centers[None], axis=-1) - radii[None]
+            d[:, j] = np.inf
+            p = p[d.min(axis=1) > -0.05 * h]
+        surf.append(p)
+        normals.append((p - c) / max(r, 1e-12))
+    surf = np.concatenate(surf, axis=0)
+    normals = np.concatenate(normals, axis=0)
+    if centers.shape[0] > 1:
+        # Adjacent overlapping balls keep near-coincident boundary-band
+        # samples; grid-dedupe to one point per 0.45h cell.
+        key = np.round(surf / (0.45 * h)).astype(np.int64)
+        _, keep_i = np.unique(key, axis=0, return_index=True)
+        keep_i = np.sort(keep_i)
+        surf, normals = surf[keep_i], normals[keep_i]
+
+    # Offset layer just beneath the surface: guarantees an interior point
+    # near every boundary patch, which suppresses Delaunay boundary slivers
+    # (4 nearly coplanar surface samples with an empty circumsphere).
+    rng = np.random.default_rng(12345)
+    layer = surf - 0.6 * h * normals
+    layer = layer + rng.uniform(-0.1 * h, 0.1 * h, size=layer.shape)
+
+    # jittered BCC interior, kept clear of the offset layer
+    lo = (centers - radii[:, None]).min(axis=0)
+    hi = (centers + radii[:, None]).max(axis=0)
+    lattice = _bcc_lattice(lo, hi, 1.05 * h)
+    sd = (np.linalg.norm(lattice[:, None, :] - centers[None], axis=-1)
+          - radii[None]).min(axis=1)
+    inner = lattice[sd < -1.1 * h]
+    inner = inner + rng.uniform(-0.08 * h, 0.08 * h, size=inner.shape)
+
+    verts = np.concatenate([surf, layer, inner], axis=0)
     tri = Delaunay(verts)
     tets = tri.simplices.astype(np.int64)
     vol = _tet_volumes(verts, tets)
     flip = vol < 0
     tets[flip] = tets[flip][:, [0, 1, 3, 2]]
     vol = np.abs(vol)
-    # Drop numerically degenerate slivers (well below the expected tet volume).
-    keep = vol > 1e-10 * (h ** 3)
-    tets = tets[keep]
 
-    verts = verts + np.asarray(center, dtype=np.float64)
-    return verts, tets
+    # Boundary-sliver peeling (alpha-complex criterion): a flat tet whose
+    # circumcenter falls outside the body is a Delaunay artifact of the
+    # boundary sampling, not real volume — its near-zero rest volume would
+    # blow up dX_inv and poison the energy conditioning. Interior tets from
+    # the jittered BCC lattice are far from both thresholds.
+    cc = _circumcenters(verts, tets)
+    sd_cc = (np.linalg.norm(cc[:, None, :] - centers[None], axis=-1)
+             - radii[None]).min(axis=1)
+    bad = (vol < 5e-3 * h ** 3) & (sd_cc > -0.1 * h)
+    keep = (vol > 1e-8 * h ** 3) & ~bad
+    return verts, tets[keep]
+
+
+def _circumcenters(verts: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    """Circumcenters of tets ((T,3)); degenerate tets get their centroid."""
+    p = verts[tets]                       # (T,4,3)
+    a = p[:, 1:] - p[:, :1]               # (T,3,3)
+    rhs = 0.5 * np.einsum("tij,tij->ti", a, a)
+    det = np.linalg.det(a)
+    ok = np.abs(det) > 1e-30
+    cc = np.mean(p, axis=1)
+    if ok.any():
+        sol = np.linalg.solve(a[ok], rhs[ok][..., None])[..., 0]
+        cc[ok] = p[ok, 0] + sol
+    return cc
+
+
+def tet_sphere(target_edge_length: float, radius: float = 1.0,
+               center=(0.0, 0.0, 0.0), min_surface_points: int = 64,
+               rng: Optional[np.random.Generator] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Tetrahedralize a ball into well-shaped tets (native replacement for
+    the per-sphere TetWild subprocess of the reference,
+    geometry/tetmesh_geometry.py:268-303). See tet_ball_union."""
+    del rng
+    return tet_ball_union(target_edge_length, [center], [radius],
+                          min_surface_points=min_surface_points)
+
+
+def tet_capsule(target_edge_length: float, p0, p1, r0: float, r1: float
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Tetrahedralized cone-sphere (sphere swept along a straight edge with
+    linearly varying radius) — the skeleton-edge primitive of the fish
+    geometry (reference: pypgo.create_tetsphere_edge_surface + TetWild,
+    geometry/tetmesh_fish.py:73-87). The body is convex, so the ball-union
+    Delaunay tetrahedralizer applies with densely sampled stations."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    h = float(target_edge_length)
+    length = float(np.linalg.norm(p1 - p0))
+    n_st = max(2, int(math.ceil(length / max(0.5 * h, 1e-9))) + 1)
+    a = np.linspace(0.0, 1.0, n_st)[:, None]
+    centers = (1 - a) * p0 + a * p1
+    radii = (1 - a[:, 0]) * r0 + a[:, 0] * r1
+    return tet_ball_union(h, centers, radii)
 
 
 def load_template_sphere(path: Optional[str] = None,
