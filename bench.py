@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: optimization steps/sec of the geometry-stage train step
+(render -> silhouette loss -> backward -> AdamUniform update) on the
+GSO-like workload — single TetSphere at the reference edge length (0.03,
+~reference example scale: tssplat_ext/a.veg is 4.5k verts / 22k tets),
+multi-view silhouette targets at 512x512 (reference config/gso.yaml:30
+batches 120 such views per forward).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is null: the reference repo publishes no numbers
+(BASELINE.md) — reference-side figures must come from running it.
+
+Env knobs: BENCH_VIEWS (default 8), BENCH_RES (512), BENCH_ITERS (10).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+# allow JAX_PLATFORMS to take effect even when jax was pre-imported at
+# interpreter startup (bench normally runs on the real TPU; CPU for checks)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def main():
+    n_views = int(os.environ.get("BENCH_VIEWS", 8))
+    res = int(os.environ.get("BENCH_RES", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    import jax
+    import jax.numpy as jnp
+    from tssplat_tpu.mesh.spheres import tet_sphere, icosphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+    from tssplat_tpu.geometry.tet_geometry import TetMeshGeometry
+    from tssplat_tpu.ops.transform import fibonacci_views
+    from tssplat_tpu.tools.synthetic import render_views_of_mesh
+    from tssplat_tpu.train import make_train_step, TrainState
+    from tssplat_tpu.optim import adam_uniform, cosine_annealing_lr
+
+    # geometry: one TetSphere at reference resolution
+    v, t = tet_sphere(0.03, radius=0.25)
+    geo = TetMeshGeometry(dict(use_smooth_barrier=True),
+                          tetmesh=TetMesh(v, t))
+
+    # targets: ellipsoid silhouettes rendered by the framework itself
+    sv, sf = icosphere(subdivisions=3)
+    sv = sv * np.asarray([0.30, 0.24, 0.18])
+    mvp, mv, campos = fibonacci_views(n_views)
+    rgba, depth, _ = render_views_of_mesh(sv, sf, mvp, campos, res)
+
+    batch = {
+        "mvp": jnp.asarray(mvp, jnp.float32),
+        "mv": jnp.asarray(mv, jnp.float32),
+        "campos": jnp.asarray(campos, jnp.float32),
+        "img": jnp.asarray(rgba, jnp.float32),
+        "background": jnp.ones((n_views, res, res, 3), jnp.float32),
+        "n": jnp.zeros((n_views, res, res, 4), jnp.float32),
+        "d": jnp.asarray(depth[..., None], jnp.float32),
+    }
+
+    init_fn, update_fn = adam_uniform(
+        cosine_annealing_lr(0.2, 1500), grad_limit=True,
+        grad_limit_values=(0.01, 0.01), grad_limit_iters=(1500,))
+    step = make_train_step(geo.statics, update_fn, fitting_stage="geometry",
+                           resolution=res, fit_depth=False, is_ortho=False)
+
+    params = jnp.array(geo.tet_v)
+    state = TrainState(params=params, opt_state=init_fn(params),
+                       best_loss=jnp.asarray(jnp.inf, jnp.float32),
+                       best_iter=jnp.zeros((), jnp.int32),
+                       best_params=jnp.array(params))
+
+    # warmup/compile
+    state, out = step(state, batch, 0)
+    jax.block_until_ready(out[0])
+
+    t0 = time.perf_counter()
+    for it in range(1, iters + 1):
+        state, out = step(state, batch, it)
+    jax.block_until_ready(out[0])
+    dt = time.perf_counter() - t0
+
+    ips = iters / dt
+    assert np.isfinite(float(out[0]))
+    print(json.dumps({
+        "metric": f"geometry_train_iters_per_sec_b{n_views}_r{res}",
+        "value": round(ips, 4),
+        "unit": "iters/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

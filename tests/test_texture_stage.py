@@ -1,0 +1,125 @@
+"""Texture-stage e2e: freeze geometry, fit the hashgrid+MLP color field to
+colored multi-view targets through the config-driven trainer (reference
+flow: trainer.py:44-48 + renderers/mesh_rasterizer.py:111-132)."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tssplat_tpu.config import ConfigDict
+from tssplat_tpu.train import train
+
+
+RES = 48
+N_VIEWS = 4
+
+
+@pytest.fixture(scope="module")
+def tex_root(tmp_path_factory):
+    """Dataset whose RGB is a position-dependent color field over a sphere."""
+    root = tmp_path_factory.mktemp("tex")
+    img_dir = root / "img"
+
+    from tssplat_tpu.mesh.spheres import tet_sphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+    from tssplat_tpu.ops.transform import fibonacci_views, transform_pos
+    from tssplat_tpu.ops.rasterize import rasterize, interpolate, antialias
+    from tssplat_tpu.mesh.surface import triangle_edge_neighbors
+    from PIL import Image
+
+    v, t = tet_sphere(0.08, radius=0.3)
+    mesh = TetMesh(v, t)
+    sv = mesh.vtx[mesh.surface_vid]
+    sf = mesh.surface_fid
+    mvp, mv, campos = fibonacci_views(N_VIEWS)
+
+    pos_clip = transform_pos(jnp.asarray(mvp, jnp.float32),
+                             jnp.asarray(sv, jnp.float32))
+    tri = jnp.asarray(sf, jnp.int32)
+    nbrs = jnp.asarray(triangle_edge_neighbors(sf), jnp.int32)
+    rast = rasterize(pos_clip, tri, (RES, RES))
+    alpha = jnp.clip(rast[..., 3:4], 0, 1)
+    alpha = antialias(alpha, rast, pos_clip, tri, nbrs)
+    wp = interpolate(jnp.asarray(sv, jnp.float32), rast, tri)
+    color = jnp.clip(wp / 0.6 + 0.5, 0, 1)          # position-coded RGB
+
+    os.makedirs(img_dir, exist_ok=True)
+    rgba = np.concatenate([np.asarray(color), np.asarray(alpha)], axis=-1)
+    for i in range(N_VIEWS):
+        img = np.clip(rgba[i] * 255, 0, 255).astype(np.uint8)
+        Image.fromarray(img, "RGBA").save(img_dir / f"img_rgba_{i}.png")
+        np.save(img_dir / f"mvp_mtx_{i}.npy", mvp[i].astype(np.float32))
+        np.save(img_dir / f"mv_{i}.npy", mv[i].astype(np.float32))
+
+    # geometry artifacts: the texture stage resumes a fitted geometry
+    final = root / "geo" / "final"
+    from tssplat_tpu.geometry.tet_geometry import TetMeshGeometry
+    geo = TetMeshGeometry(dict(use_smooth_barrier=False), tetmesh=mesh)
+    geo.export(str(final), "final")
+    idx = [list(range(mesh.num_vertices))]
+    (final / "spheres_vtx_idx.json").write_text(json.dumps(idx))
+    (final / "spheres_elem_idx.json").write_text(json.dumps([mesh.elem.tolist()]))
+    return root
+
+
+def test_texture_stage_converges(tex_root):
+    iters = 60
+    out = os.path.join(str(tex_root), "out")
+    cfg = ConfigDict({
+        "fitting_stage": "texture",
+        "geometry_type": "TetMeshMultiSphereGeometry",
+        "geometry": {
+            "use_smooth_barrier": False,
+            "initial_mesh_path": os.path.join(str(tex_root), "geo", "final"),
+            "output_path": out,
+        },
+        "material_type": "ExplicitMaterial",
+        "material": {
+            "n_output_dims": 3,
+            "material_activation": "sigmoid",
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 8,
+                "n_features_per_level": 2, "log2_hashmap_size": 13,
+                "base_resolution": 4, "per_level_scale": 1.5},
+        },
+        "dataloader_type": "MistubaImgDataLoader",
+        "data": {"dataset_config": {"image_root": os.path.join(str(tex_root), "img")},
+                 "world_size": 1, "rank": 0, "batch_size": N_VIEWS,
+                 "total_num_iter": iters},
+        "renderer": {"context_type": "tpu", "is_orhto": False},
+        "optimizer": {"lr": 0.01, "grad_limit": False},
+        "output_path": out,
+        "total_num_iter": iters,
+        "use_permute_surface_v": False,
+        "log_every": 1000, "export_every": 100000,
+    })
+    state, geometry = train(cfg)
+
+    # rendered color must approach the target field
+    from tssplat_tpu.data import MitsubaImgDataset
+    from tssplat_tpu.render.pipeline import render_views
+    from tssplat_tpu.materials import ExplicitMaterial
+    ds = MitsubaImgDataset({"image_root": os.path.join(str(tex_root), "img")})
+    mvp = jnp.asarray(np.stack(ds.all_mvp_mats))
+    bg = jnp.asarray(np.stack(ds.bgs))
+
+    mat = ExplicitMaterial(cfg.material)
+    out0 = render_views(geometry.tet_v, geometry.statics, mvp, 0, RES,
+                        only_alpha=False, material_fn=mat.apply_fn,
+                        material_params=mat.params, background=bg)
+    out1 = render_views(geometry.tet_v, geometry.statics, mvp, 0, RES,
+                        only_alpha=False, material_fn=mat.apply_fn,
+                        material_params=state.params, background=bg)
+    tgt = np.stack(ds.all_tgt_imgs)
+    tgt_rgb = tgt[..., :3] * tgt[..., 3:] + 1.0 * (1 - tgt[..., 3:])
+
+    e0 = float(np.mean(np.abs(np.asarray(out0.shaded) - tgt_rgb)))
+    e1 = float(np.mean(np.abs(np.asarray(out1.shaded) - tgt_rgb)))
+    assert e1 < 0.75 * e0
+    assert e1 < 0.01
+
+    # material artifact written
+    assert os.path.exists(os.path.join(out, "final", "material", "material.npz"))

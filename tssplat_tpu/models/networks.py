@@ -1,0 +1,359 @@
+"""NN zoo: activations, positional/hash-grid encodings (with progressive band
+masking), small MLPs — functional (init_fn, apply_fn, n_output_dims) triples.
+
+Capability parity with the reference zoo (reference: models/networks.py):
+activation table (:16-49), ProgressiveBandFrequency (:56-94), HashGrid
+encoding (tiny-cuda-nn config keys, :97-106), ProgressiveBandHashGrid
+(:109-148), CompositeEncoding xyz-concat (:151-172), VanillaMLP (:195-235),
+SphereInitVanillaMLP geometric init (:238-311), factories (:175-192,324-339,
+373-394), scale_tensor (:407-418).
+
+TPU-native: the hash-grid is a plain XLA gather over an (L*2^H, F) f32 table
+with trilinear blending — at this size (<=2^19 x 32 feats) the fused
+tiny-cuda-nn kernel buys nothing on TPU; XLA fuses the gathers with the
+following dense layers. MLPs run in f32 on the MXU via
+``preferred_element_type``; every apply is shape-polymorphic over leading
+batch dims.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# activations (reference models/networks.py:16-49)
+# ---------------------------------------------------------------------------
+
+def get_activation(name) -> Callable:
+    if name is None:
+        return lambda x: x
+    name_l = str(name).lower()
+    table = {
+        "none": lambda x: x,
+        "lin2srgb": lambda x: jnp.clip(
+            jnp.where(x > 0.0031308,
+                      jnp.power(jnp.clip(x, min=0.0031308), 1.0 / 2.4)
+                      * 1.055 - 0.055,
+                      12.92 * x), 0.0, 1.0),
+        "exp": jnp.exp,
+        "shifted_exp": lambda x: jnp.exp(x - 1.0),
+        "trunc_exp": lambda x: jnp.exp(jnp.clip(x, max=15.0)),
+        "shifted_trunc_exp": lambda x: jnp.exp(jnp.clip(x - 1.0, max=15.0)),
+        "sigmoid": jax.nn.sigmoid,
+        "tanh": jnp.tanh,
+        "shifted_softplus": lambda x: jax.nn.softplus(x - 1.0),
+        "scale_-11_01": lambda x: x * 0.5 + 0.5,
+        "relu": jax.nn.relu,
+        "softplus": jax.nn.softplus,
+    }
+    if name_l in table:
+        return table[name_l]
+    if hasattr(jax.nn, name_l):
+        return getattr(jax.nn, name_l)
+    raise ValueError(f"Unknown activation function: {name}")
+
+
+def scale_tensor(dat, inp_scale, tgt_scale):
+    """Affine rescale from inp_scale range to tgt_scale range
+    (reference :407-418). Scales may be scalars or per-dim arrays; an
+    (2,D) bbox is supported for inp_scale."""
+    if inp_scale is None:
+        inp_scale = (0.0, 1.0)
+    if tgt_scale is None:
+        tgt_scale = (0.0, 1.0)
+    lo_i, hi_i = inp_scale[0], inp_scale[1]
+    lo_t, hi_t = tgt_scale[0], tgt_scale[1]
+    dat = (dat - lo_i) / (hi_i - lo_i)
+    return dat * (hi_t - lo_t) + lo_t
+
+
+# ---------------------------------------------------------------------------
+# encodings
+# ---------------------------------------------------------------------------
+
+class Module(NamedTuple):
+    """Functional module: params = init_fn(key); y = apply_fn(params, x[, step])."""
+    init_fn: Callable
+    apply_fn: Callable
+    n_output_dims: int
+    n_input_dims: int
+
+
+_HASH_PRIMES = np.asarray([1, 2654435761, 805459861], dtype=np.uint32)
+
+
+def _hash_coords(coords: jnp.ndarray, hashmap_size: int) -> jnp.ndarray:
+    """Spatial hash of integer grid coords (…,3) -> [0, hashmap_size)."""
+    c = coords.astype(jnp.uint32)
+    h = c[..., 0] * _HASH_PRIMES[0]
+    h = h ^ (c[..., 1] * _HASH_PRIMES[1])
+    h = h ^ (c[..., 2] * _HASH_PRIMES[2])
+    return (h % jnp.uint32(hashmap_size)).astype(jnp.int32)
+
+
+_CORNERS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                indexing="ij"), axis=-1).reshape(8, 3)
+
+
+def hash_grid_encoding(n_input_dims: int = 3, n_levels: int = 16,
+                       n_features_per_level: int = 2,
+                       log2_hashmap_size: int = 19, base_resolution: int = 16,
+                       per_level_scale: float = 1.447269237440378,
+                       init_scale: float = 1e-4) -> Module:
+    """Multi-resolution hash-grid encoding (InstantNGP; the reference uses
+    tiny-cuda-nn's with these defaults, materials/explicit_material.py:38-46).
+
+    Input in [0,1]^3; output (…, n_levels*n_features_per_level). Levels whose
+    dense grid fits in the table are indexed densely (collision-free), larger
+    ones via spatial hashing — tiny-cuda-nn semantics.
+    """
+    assert n_input_dims == 3, "hash grid implemented for 3-D inputs"
+    H = 1 << log2_hashmap_size
+    res = [int(math.floor(base_resolution * per_level_scale ** l))
+           for l in range(n_levels)]
+    dense = [(r + 1) ** 3 <= H for r in res]
+    F = n_features_per_level
+
+    def init_fn(key):
+        return {"table": jax.random.uniform(
+            key, (n_levels * H, F), jnp.float32, -init_scale, init_scale)}
+
+    def apply_fn(params, x, step=None):
+        table = params["table"]
+        outs = []
+        for l in range(n_levels):
+            r = res[l]
+            xl = x * r                                     # [0, r]
+            i0 = jnp.floor(xl).astype(jnp.int32)
+            i0 = jnp.clip(i0, 0, r - 1)
+            w = xl - i0                                    # (…,3)
+            feats = 0.0
+            for corner in _CORNERS:
+                c = i0 + corner                            # (…,3)
+                if dense[l]:
+                    idx = (c[..., 0] * (r + 1) + c[..., 1]) * (r + 1) + c[..., 2]
+                else:
+                    idx = _hash_coords(c, H)
+                wc = jnp.prod(jnp.where(corner.astype(bool), w, 1.0 - w),
+                              axis=-1)                     # (…,)
+                feats = feats + table[l * H + idx] * wc[..., None]
+            outs.append(feats)
+        return jnp.concatenate(outs, axis=-1)
+
+    return Module(init_fn, apply_fn, n_levels * F, n_input_dims)
+
+
+def progressive_band_hash_grid(n_input_dims: int = 3, start_level: int = 4,
+                               start_step: int = 0, update_steps: int = 500,
+                               **kwargs) -> Module:
+    """Hash grid with coarse-to-fine level masking (reference :109-148):
+    ``start_level`` levels active at ``start_step``, one more unlocked every
+    ``update_steps`` steps. ``step`` may be traced."""
+    grid = hash_grid_encoding(n_input_dims, **kwargs)
+    n_levels = kwargs.get("n_levels", 16)
+    F = kwargs.get("n_features_per_level", 2)
+
+    def apply_fn(params, x, step=0):
+        feats = grid.apply_fn(params, x)
+        step = jnp.asarray(step)
+        current = start_level + jnp.maximum(step - start_step, 0) // update_steps
+        mask = (jnp.arange(n_levels) < current)
+        mask = jnp.repeat(mask, F).astype(feats.dtype)
+        return feats * mask
+
+    return Module(grid.init_fn, apply_fn, grid.n_output_dims, n_input_dims)
+
+
+def frequency_encoding(n_input_dims: int, n_frequencies: int = 10,
+                       n_masking_step: int = 0) -> Module:
+    """NeRF positional encoding with optional progressive band masking
+    (reference ProgressiveBandFrequency, :56-94): weight per frequency
+    ``(1 - cos(pi * clamp(alpha - j, 0, 1))) / 2`` with
+    ``alpha = step / n_masking_step * N_freqs``."""
+    freqs = 2.0 ** np.arange(n_frequencies)
+    n_out = n_input_dims * n_frequencies * 2
+
+    def init_fn(key):
+        return {}
+
+    def apply_fn(params, x, step=0):
+        xs = x[..., None] * freqs                          # (…,D,Nf)
+        enc = jnp.stack([jnp.sin(xs), jnp.cos(xs)], axis=-1)  # (…,D,Nf,2)
+        if n_masking_step > 0:
+            alpha = jnp.asarray(step, jnp.float32) / n_masking_step * n_frequencies
+            j = jnp.arange(n_frequencies, dtype=jnp.float32)
+            w = (1.0 - jnp.cos(jnp.pi * jnp.clip(alpha - j, 0.0, 1.0))) / 2.0
+            enc = enc * w[:, None]
+        return enc.reshape(*x.shape[:-1], n_out)
+
+    return Module(init_fn, apply_fn, n_out, n_input_dims)
+
+
+def composite_encoding(enc: Module, include_xyz: bool = False,
+                       xyz_scale: float = 2.0, xyz_offset: float = -1.0
+                       ) -> Module:
+    """Optionally concatenate (scaled) xyz to an encoding (reference :151-172)."""
+    if not include_xyz:
+        return enc
+
+    def apply_fn(params, x, step=0):
+        return jnp.concatenate([x * xyz_scale + xyz_offset,
+                                enc.apply_fn(params, x, step)], axis=-1)
+
+    return Module(enc.init_fn, apply_fn, enc.n_output_dims + enc.n_input_dims,
+                  enc.n_input_dims)
+
+
+def get_encoding(n_input_dims: int, config: dict) -> Module:
+    """Factory keyed on tiny-cuda-nn ``otype`` names (reference :175-192)."""
+    cfg = dict(config)
+    otype = cfg.pop("otype", "HashGrid")
+    include_xyz = cfg.pop("include_xyz", False)
+    xyz_scale = cfg.pop("xyz_scale", 2.0)
+    xyz_offset = cfg.pop("xyz_offset", -1.0)
+    if otype in ("HashGrid", "Grid"):
+        enc = hash_grid_encoding(n_input_dims, **_grid_kwargs(cfg))
+    elif otype == "ProgressiveBandHashGrid":
+        enc = progressive_band_hash_grid(
+            n_input_dims, start_level=cfg.pop("start_level", 4),
+            start_step=cfg.pop("start_step", 0),
+            update_steps=cfg.pop("update_steps", 500), **_grid_kwargs(cfg))
+    elif otype in ("Frequency", "ProgressiveBandFrequency"):
+        enc = frequency_encoding(
+            n_input_dims, n_frequencies=cfg.get("n_frequencies", 10),
+            n_masking_step=cfg.get("n_masking_step", 0))
+    else:
+        raise ValueError(f"unknown encoding otype {otype!r}")
+    return composite_encoding(enc, include_xyz, xyz_scale, xyz_offset)
+
+
+def _grid_kwargs(cfg: dict) -> dict:
+    keys = ("n_levels", "n_features_per_level", "log2_hashmap_size",
+            "base_resolution", "per_level_scale")
+    return {k: cfg[k] for k in keys if k in cfg}
+
+
+# ---------------------------------------------------------------------------
+# MLPs
+# ---------------------------------------------------------------------------
+
+def _dense(params, x, name, act=None):
+    y = jnp.dot(x, params[name + "_w"],
+                preferred_element_type=jnp.float32) + params[name + "_b"]
+    return act(y) if act is not None else y
+
+
+def vanilla_mlp(dim_in: int, dim_out: int, n_neurons: int = 64,
+                n_hidden_layers: int = 1, activation: str = "ReLU",
+                output_activation: str = "none") -> Module:
+    """Plain MLP (reference VanillaMLP, :195-235): n_hidden_layers hidden
+    blocks of width n_neurons."""
+    act = get_activation(activation)
+    out_act = get_activation(output_activation)
+    dims = [dim_in] + [n_neurons] * n_hidden_layers + [dim_out]
+
+    def init_fn(key):
+        params = {}
+        for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+            key, sub = jax.random.split(key)
+            # He init, matching torch Linear + ReLU practice
+            params[f"l{i}_w"] = jax.random.normal(sub, (a, b), jnp.float32) \
+                * math.sqrt(2.0 / a)
+            params[f"l{i}_b"] = jnp.zeros((b,), jnp.float32)
+        return params
+
+    def apply_fn(params, x, step=None):
+        h = x
+        for i in range(len(dims) - 2):
+            h = _dense(params, h, f"l{i}", act)
+        return out_act(_dense(params, h, f"l{len(dims) - 2}"))
+
+    return Module(init_fn, apply_fn, dim_out, dim_in)
+
+
+def sphere_init_mlp(dim_in: int, dim_out: int, n_neurons: int = 64,
+                    n_hidden_layers: int = 1, sphere_radius: float = 0.5,
+                    inside_out: bool = False) -> Module:
+    """SDF-style geometric initialization (reference SphereInitVanillaMLP,
+    :238-311): the freshly initialized network approximates the SDF of a
+    sphere of ``sphere_radius``. Softplus(beta=100) activations."""
+    beta = 100.0
+
+    def act(x):
+        return jax.nn.softplus(x * beta) / beta
+
+    dims = [dim_in] + [n_neurons] * n_hidden_layers + [dim_out]
+
+    def init_fn(key):
+        params = {}
+        n = len(dims) - 1
+        for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+            key, sub = jax.random.split(key)
+            if i == n - 1:      # output layer
+                mean = math.sqrt(math.pi) / math.sqrt(a)
+                w = jax.random.normal(sub, (a, b)) * 1e-4 + mean
+                bias = jnp.full((b,), -sphere_radius)
+            elif i == 0:        # first layer: weights only on raw xyz
+                w = jnp.zeros((a, b))
+                w = w.at[:3].set(jax.random.normal(sub, (3, b))
+                                 * math.sqrt(2.0 / b))
+                bias = jnp.zeros((b,))
+            else:
+                w = jax.random.normal(sub, (a, b)) * math.sqrt(2.0 / b)
+                bias = jnp.zeros((b,))
+            if inside_out and i == n - 1:
+                w, bias = -w, -bias
+            params[f"l{i}_w"] = w.astype(jnp.float32)
+            params[f"l{i}_b"] = bias.astype(jnp.float32)
+        return params
+
+    def apply_fn(params, x, step=None):
+        h = x
+        for i in range(len(dims) - 2):
+            h = act(_dense(params, h, f"l{i}"))
+        return _dense(params, h, f"l{len(dims) - 2}")
+
+    return Module(init_fn, apply_fn, dim_out, dim_in)
+
+
+def get_mlp(dim_in: int, dim_out: int, config: dict) -> Module:
+    """Factory (reference :324-339)."""
+    cfg = dict(config)
+    otype = cfg.pop("otype", "VanillaMLP")
+    if otype in ("VanillaMLP", "FullyFusedMLP", "CutlassMLP", "TCNNNetwork"):
+        return vanilla_mlp(dim_in, dim_out,
+                           n_neurons=cfg.get("n_neurons", 64),
+                           n_hidden_layers=cfg.get("n_hidden_layers", 1),
+                           activation=cfg.get("activation", "ReLU"),
+                           output_activation=cfg.get("output_activation", "none"))
+    if otype == "SphereInitVanillaMLP":
+        return sphere_init_mlp(dim_in, dim_out,
+                               n_neurons=cfg.get("n_neurons", 64),
+                               n_hidden_layers=cfg.get("n_hidden_layers", 1),
+                               sphere_radius=cfg.get("sphere_init_radius", 0.5),
+                               inside_out=cfg.get("inside_out", False))
+    raise ValueError(f"unknown mlp otype {otype!r}")
+
+
+def create_network_with_input_encoding(n_input_dims: int, n_output_dims: int,
+                                       encoding_config: dict,
+                                       network_config: dict) -> Module:
+    """Encoding -> MLP composition (reference :373-394)."""
+    enc = get_encoding(n_input_dims, encoding_config)
+    mlp = get_mlp(enc.n_output_dims, n_output_dims, network_config)
+
+    def init_fn(key):
+        k1, k2 = jax.random.split(key)
+        return {"encoding": enc.init_fn(k1), "network": mlp.init_fn(k2)}
+
+    def apply_fn(params, x, step=0):
+        return mlp.apply_fn(params["network"],
+                            enc.apply_fn(params["encoding"], x, step))
+
+    return Module(init_fn, apply_fn, n_output_dims, n_input_dims)

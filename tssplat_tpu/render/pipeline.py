@@ -1,0 +1,158 @@
+"""Differentiable multi-view render pipeline over the TPU rasterizer —
+functional equivalent of the reference's MeshRasterizer forward
+(reference: renderers/mesh_rasterizer.py:81-163).
+
+Output contract per forward (matching the reference's dict):
+  shaded             — (B,H,W,1) antialiased silhouette when only_alpha,
+                       else (B,H,W,3) antialiased color over background
+  geo_regularization — scalar energy from the geometry forward
+  normal             — (B,H,W,3) interpolated vertex normals (fit_normal),
+                       z flipped for Wonder3D-convention datasets (:141-144)
+  depth              — (B,H,W,1) ||world_pos - campos|| (fit_depth, :151-161)
+
+TPU-native choices: the whole batch of views renders in one traced program
+(no Python per-view loop); the color path evaluates the material on every
+pixel of the (B,H,W) grid and masks, instead of gathering foreground pixels
+(dynamic shapes defeat XLA; a dense masked MLP batch is MXU-friendly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import parse_structured
+from ..geometry.tet_geometry import (geometry_forward, compute_vertex_normals,
+                                     GeometryStatics)
+from ..ops.rasterize import rasterize, interpolate, antialias
+from ..ops.transform import transform_pos
+
+
+class RenderOutput(NamedTuple):
+    shaded: jax.Array
+    geo_regularization: jax.Array
+    normal: Optional[jax.Array] = None
+    depth: Optional[jax.Array] = None
+
+
+def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
+                 it, resolution: int, *,
+                 only_alpha: bool = True,
+                 material_fn: Optional[Callable] = None,
+                 material_params=None,
+                 background: Optional[jax.Array] = None,
+                 campos: Optional[jax.Array] = None,
+                 fit_normal: bool = False,
+                 fit_depth: bool = False,
+                 is_ortho: bool = False,
+                 normal_flip_z: bool = True,
+                 chunk: int = 64,
+                 rast_ids: Optional[jax.Array] = None) -> RenderOutput:
+    """Render a batch of views of the current geometry.
+
+    mvp (B,4,4); background (B,H,W,3) or broadcastable; campos (B,3).
+    ``rast_ids`` lets an external visibility kernel (Pallas) supply the
+    per-pixel winning triangles.
+    """
+    fwd = geometry_forward(tet_v, geom, it)
+    tri = fwd.t_pos_idx
+    res = (int(resolution), int(resolution))
+
+    pos_clip = transform_pos(mvp, fwd.v_pos, is_ortho=is_ortho)
+    rast = rasterize(pos_clip, tri, res, chunk=chunk, ids=rast_ids)
+
+    # silhouette: coverage channel is (tri_id + 1), clamp to [0,1] then AA —
+    # the sole source of coverage gradients (reference :106-108)
+    alpha = jnp.clip(rast[..., 3:4], 0.0, 1.0)
+    alpha = antialias(alpha, rast, pos_clip, tri, geom.edge_nbrs)
+
+    shaded = alpha
+    if not only_alpha:
+        if material_fn is None or background is None:
+            raise ValueError("color path needs material_fn and background")
+        mask = (rast[..., 3:4] > 0).astype(pos_clip.dtype)
+        positions = interpolate(fwd.v_pos, rast, tri)       # (B,H,W,3)
+        color = material_fn(material_params, positions)     # (B,H,W,3)
+        gb = background + (color - background) * mask       # lerp by mask
+        shaded = antialias(gb, rast, pos_clip, tri, geom.edge_nbrs)
+
+    normal = None
+    if fit_normal:
+        v_nrm = compute_vertex_normals(fwd.v_pos, tri)
+        if normal_flip_z:  # Wonder3D/GSO convention (reference :141-144)
+            v_nrm = v_nrm * jnp.asarray([1.0, 1.0, -1.0], v_nrm.dtype)
+        normal = interpolate(v_nrm, rast, tri)
+
+    depth = None
+    if fit_depth:
+        if campos is None:
+            raise ValueError("fit_depth needs campos")
+        wp = interpolate(fwd.v_pos, rast, tri)
+        depth = jnp.linalg.norm(wp - campos[:, None, None, :], axis=-1,
+                                keepdims=True)
+
+    return RenderOutput(shaded=shaded, geo_regularization=fwd.energy,
+                        normal=normal, depth=depth)
+
+
+class MeshRasterizer:
+    """Object wrapper with the reference's constructor/forward shape
+    (renderers/mesh_rasterizer.py:26-163) around the functional pipeline.
+    ``context_type`` is accepted for config compatibility and ignored —
+    there is no GL/CUDA context on TPU."""
+
+    @dataclass
+    class Config:
+        context_type: str = "tpu"
+        is_orhto: bool = False          # sic — reference config key spelling
+
+    def __init__(self, geometry, materials=None, cfg=None):
+        self.cfg = parse_structured(self.Config, cfg)
+        self.geometry = geometry
+        self.materials = materials
+
+    def __call__(self, mvp, only_alpha: bool, iter_num, resolution: int,
+                 permute_surface_scheduler=None, fit_normal: bool = False,
+                 fit_depth: bool = False, background=None, campos=None,
+                 rng_key=None):
+        if permute_surface_scheduler is not None:
+            dev = permute_surface_scheduler(int(iter_num))
+            if dev is not None:
+                from ..geometry.tet_geometry import permute_surface_vertices
+                key = rng_key if rng_key is not None else \
+                    jax.random.PRNGKey(int(iter_num))
+                self.geometry.set_tet_v(permute_surface_vertices(
+                    self.geometry.tet_v, self.geometry.statics.surface_vid,
+                    key, dev))
+
+        material_fn = None
+        material_params = None
+        if self.materials is not None:
+            material_fn = self.materials.apply_fn
+            material_params = self.materials.params
+
+        out = render_views(
+            self.geometry.tet_v, self.geometry.statics,
+            jnp.asarray(mvp, jnp.float32), iter_num, resolution,
+            only_alpha=only_alpha, material_fn=material_fn,
+            material_params=material_params, background=background,
+            campos=campos, fit_normal=fit_normal, fit_depth=fit_depth,
+            is_ortho=self.cfg.is_orhto)
+        d = {"shaded": out.shaded, "geo_regularization": out.geo_regularization}
+        if out.normal is not None:
+            d["n"] = out.normal
+        if out.depth is not None:
+            d["d"] = out.depth
+        return d
+
+    def export(self, path: str, folder: str, texture_res: int = 1024):
+        """Textured OBJ export (reference :165-241) — delegates to the
+        materials module's baker once a material is fitted."""
+        if self.materials is None:
+            raise ValueError("export requires a fitted material")
+        from ..materials.export import export_textured_obj
+        export_textured_obj(self.geometry, self.materials, path, folder,
+                            texture_res=texture_res)

@@ -1,0 +1,259 @@
+"""Training driver: build geometry/renderer/dataloader/optimizer from config
+and run the optimization loop as ONE jitted train step.
+
+Behavioral parity with the reference trainer (reference: trainer.py:34-200):
+  - geometry stage: MSE on rendered vs GT alpha x20; optional depth loss
+    MSE(d*a_gt, d_gt*a_gt) x100 after fit_depth_starting_iter; total loss =
+    img_loss*100 + geometry regularization (trainer.py:98-115);
+  - texture stage: L1 on RGB x20, geometry frozen (trainer.py:44-48,101-103);
+  - AdamUniform + cosine LR stepped once per forward (trainer.py:56-58);
+  - permute-surface scheduler (trainer.py:18-31,60-63);
+  - best-loss tracking and periodic/final exports (trainer.py:136-146,184-189).
+
+TPU-native differences (deliberate):
+  - the whole step (render -> loss -> grad -> update) is a single jit/pjit
+    program; the energy scalar never returns to the host mid-step (the
+    reference syncs it every iteration, tet_spheres_cuda.cu:191-194);
+  - best-loss/vertex tracking lives on device inside the step (the reference
+    calls .item() every iteration, trainer.py:136-141); the host reads logs
+    every ``log_every`` iters;
+  - batches are sharded over the device mesh when one is provided
+    (data-parallel views; the reference's dormant world_size/rank seam).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (load_config, load_geometry, load_dataloader,
+                     load_material)
+from .geometry.tet_geometry import LinearInterpolateScheduler, \
+    permute_surface_vertices
+from .optim import adam_uniform, cosine_annealing_lr, apply_updates
+from .render.pipeline import render_views
+from . import data as _data  # noqa: F401 — registers dataloaders
+from . import geometry as _geometry  # noqa: F401 — registers geometries
+from . import materials as _materials  # noqa: F401 — registers materials
+
+
+class TrainState(NamedTuple):
+    params: any                # tet_v (geometry stage) or material params
+    opt_state: any
+    best_loss: jax.Array       # scalar f32
+    best_iter: jax.Array       # scalar i32
+    best_params: any
+
+
+def make_train_step(statics, update_fn, *, fitting_stage: str,
+                    resolution: int, fit_depth: bool, is_ortho: bool,
+                    material_fn=None, tet_v_frozen=None,
+                    batch_sharding=None, replicated_sharding=None):
+    """Build the jitted train step. Static choices (stage, depth on/off,
+    resolution) bake into the compiled program; iteration number is traced."""
+    only_alpha = fitting_stage == "geometry"
+
+    def loss_fn(params, batch, it):
+        if only_alpha:
+            tet_v, mat_params = params, None
+        else:
+            tet_v, mat_params = tet_v_frozen, params
+        out = render_views(
+            tet_v, statics, batch["mvp"], it, resolution,
+            only_alpha=only_alpha, material_fn=material_fn,
+            material_params=mat_params, background=batch["background"],
+            campos=batch["campos"], fit_depth=fit_depth, is_ortho=is_ortho)
+
+        color_ref = batch["img"]
+        if only_alpha:
+            img_loss = jnp.mean((out.shaded[..., -1] - color_ref[..., -1]) ** 2)
+        else:
+            img_loss = jnp.mean(jnp.abs(out.shaded[..., :3] - color_ref[..., :3]))
+        img_loss = img_loss * 20.0
+
+        if fit_depth:
+            a = color_ref[..., -1]
+            img_loss = img_loss + 100.0 * jnp.mean(
+                (out.depth[..., -1] * a - batch["d"][..., -1] * a) ** 2)
+
+        reg = out.geo_regularization if only_alpha else 0.0
+        loss = img_loss * 100.0 + reg
+        return loss, (img_loss, reg)
+
+    def step(state: TrainState, batch, it):
+        (loss, (img_loss, reg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, it)
+        updates, opt_state = update_fn(grads, state.opt_state, state.params)
+        params = apply_updates(state.params, updates)
+
+        better = loss < state.best_loss
+        best_params = jax.tree_util.tree_map(
+            lambda b, c: jnp.where(better, c, b), state.best_params,
+            state.params)
+        new_state = TrainState(
+            params=params, opt_state=opt_state,
+            best_loss=jnp.where(better, loss, state.best_loss),
+            best_iter=jnp.where(better, it, state.best_iter).astype(jnp.int32),
+            best_params=best_params)
+        return new_state, (loss, img_loss, reg)
+
+    if batch_sharding is not None:
+        batch_spec = {k: (batch_sharding if k in
+                          ("mvp", "mv", "campos", "img", "background", "n", "d")
+                          else None)
+                      for k in ("mvp", "mv", "campos", "img", "background",
+                                "n", "d")}
+        return jax.jit(step, in_shardings=(replicated_sharding, batch_spec,
+                                           None),
+                       out_shardings=(replicated_sharding, None),
+                       donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def train(cfg):
+    verbose = cfg.get("verbose", False)
+    fitting_stage = cfg.get("fitting_stage", "geometry")
+    out_path = cfg.output_path
+    os.makedirs(os.path.join(out_path, "final"), exist_ok=True)
+
+    geometry_cfg = dict(cfg.geometry)
+    geometry_cfg["optimize_geo"] = fitting_stage == "geometry"
+    geometry_cfg.setdefault("output_path", out_path)
+    geometry = load_geometry(cfg.geometry_type)(geometry_cfg)
+
+    material = None
+    material_fn = None
+    if fitting_stage == "texture":
+        material = load_material(cfg.material_type)(cfg.material)
+        material_fn = material.apply_fn
+
+    dataloader = load_dataloader(cfg.dataloader_type)(cfg.data)
+    num_forward_per_iter = dataloader.num_forward_per_iter
+    total_iters = int(cfg.total_num_iter)
+    resolution = int(dataloader.data_all["resolution"])
+
+    opt_cfg = dict(cfg.get("optimizer", {}))
+    lr = opt_cfg.pop("lr", 0.1)
+    schedule = cosine_annealing_lr(lr, total_iters * num_forward_per_iter,
+                                   eta_min=1e-4)
+    init_fn, update_fn = adam_uniform(schedule, **opt_cfg)
+
+    permute_scheduler = None
+    if cfg.get("use_permute_surface_v", False):
+        permute_scheduler = LinearInterpolateScheduler(
+            **cfg.permute_surface_v_param)
+
+    params = geometry.tet_v if fitting_stage == "geometry" else material.params
+    # distinct buffers: the step donates its input state, so params must not
+    # alias geometry.tet_v or best_params
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)  # noqa: E731
+    params = copy(params)
+    state = TrainState(params=params, opt_state=init_fn(params),
+                       best_loss=jnp.asarray(jnp.inf, jnp.float32),
+                       best_iter=jnp.zeros((), jnp.int32),
+                       best_params=copy(params))
+
+    fit_depth_cfg = bool(cfg.get("fit_depth", False))
+    fit_depth_start = int(cfg.get("fit_depth_starting_iter", 0))
+    is_ortho = bool(cfg.get("renderer", {}).get("is_orhto", False))
+    log_every = int(cfg.get("log_every", 1))
+    export_every = int(cfg.get("export_every", 100))
+
+    steps = {}
+
+    def get_step(fit_depth_on: bool):
+        if fit_depth_on not in steps:
+            steps[fit_depth_on] = make_train_step(
+                geometry.statics, update_fn, fitting_stage=fitting_stage,
+                resolution=resolution, fit_depth=fit_depth_on,
+                is_ortho=is_ortho, material_fn=material_fn,
+                tet_v_frozen=geometry.tet_v)
+        return steps[fit_depth_on]
+
+    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    t0 = time.time()
+    n_steps = 0
+    for it in range(total_iters):
+        # permute-surface perturbation (host-scheduled, fires rarely)
+        if permute_scheduler is not None and fitting_stage == "geometry":
+            dev = permute_scheduler(it)
+            if dev is not None:
+                key, sub = jax.random.split(key)
+                state = state._replace(params=permute_surface_vertices(
+                    state.params, geometry.statics.surface_vid, sub, dev))
+
+        fit_depth_on = fit_depth_cfg and fit_depth_start < it
+        step_fn = get_step(fit_depth_on)
+
+        for forw_id in range(num_forward_per_iter):
+            batch = {k: v for k, v in dataloader(it, forw_id).items()
+                     if k not in ("resolution", "spp")}
+            state, (loss, img_loss, reg) = step_fn(state, batch, it)
+            n_steps += 1
+
+        if it % log_every == 0:
+            print("iter=%4d, img_loss=%.4f, reg_loss=%.4f"
+                  % (it, float(img_loss), float(reg)), flush=True)
+
+        if it % export_every == 0 and fitting_stage == "geometry":
+            geometry.set_tet_v(state.params)
+            d = os.path.join(out_path, f"mesh{it:05d}")
+            os.makedirs(d, exist_ok=True)
+            geometry.export(d, f"{it:05d}")
+            if verbose:
+                _dump_images(out_path, it, state, dataloader, geometry,
+                             resolution, fitting_stage)
+
+    dt = time.time() - t0
+    print(f"Best rendering loss: {float(state.best_loss)} at iteration "
+          f"{int(state.best_iter)}")
+    print(f"iters/sec: {n_steps / max(dt, 1e-9):.3f}")
+
+    if fitting_stage == "geometry":
+        geometry.set_tet_v(state.params)
+    geometry.export(os.path.join(out_path, "final"), "final", save_npy=True)
+    if material is not None:
+        material.params = state.params
+        material.export(os.path.join(out_path, "final"), "material")
+    return state, geometry
+
+
+def _dump_images(out_path, it, state, dataloader, geometry, resolution,
+                 fitting_stage):
+    """Verbose GT/pred image dumps (reference trainer.py:148-182)."""
+    from PIL import Image
+    batch = dataloader(it, 0)
+    out = render_views(state.params if fitting_stage == "geometry"
+                       else geometry.tet_v,
+                       geometry.statics, batch["mvp"], it, resolution,
+                       only_alpha=True)
+    idx = np.random.randint(0, batch["img"].shape[0])
+
+    def save(img, name):
+        img = np.asarray(img)
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 4, axis=-1)
+        img = np.clip(img * 255, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(out_path, f"a_{name}-{it}.png"))
+
+    save(out.shaded[idx], "ours")
+    save(batch["img"][idx], "gt")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True, help="path to config file")
+    args, extras = parser.parse_known_args(argv)
+    cfg = load_config(args.config, cli_args=extras)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
