@@ -15,22 +15,30 @@ import numpy as np
 _TET_FACES = np.array([[1, 2, 3], [0, 3, 2], [0, 1, 3], [0, 2, 1]], dtype=np.int64)
 
 
-def get_surface_vf(tets: np.ndarray):
+def get_surface_vf(tets: np.ndarray, use_native: bool = True):
     """Extract the boundary surface of a tet mesh.
 
     Returns ``(surface_vertices, surface_faces)``: the sorted original vertex
     ids on the boundary and boundary triangles remapped to compact surface
     vertex indices, preserving the outward winding of the original face list.
-    Same contract as reference geometry/mesh_utils.py:5-35.
+    Same contract as reference geometry/mesh_utils.py:5-35. Uses the C++
+    hash-table kernel (native/topology.cpp) when available; numpy sort-based
+    fallback otherwise — both produce boundary faces in the same
+    first-occurrence order.
     """
     tets = np.asarray(tets)
-    org_tris = tets[:, _TET_FACES].reshape(-1, 3)  # (4T, 3), winding preserved
-
-    key = np.sort(org_tris, axis=1)
-    # Faces appearing exactly once are boundary faces.
-    _, inv, counts = np.unique(key, axis=0, return_inverse=True, return_counts=True)
-    boundary_mask = counts[inv] == 1
-    surface_tris_orig = org_tris[boundary_mask]
+    surface_tris_orig = None
+    if use_native:
+        from .. import native
+        surface_tris_orig = native.surface_faces(tets)
+    if surface_tris_orig is None:
+        org_tris = tets[:, _TET_FACES].reshape(-1, 3)  # winding preserved
+        key = np.sort(org_tris, axis=1)
+        # Faces appearing exactly once are boundary faces.
+        _, inv, counts = np.unique(key, axis=0, return_inverse=True,
+                                   return_counts=True)
+        boundary_mask = counts[inv] == 1
+        surface_tris_orig = org_tris[boundary_mask]
 
     surface_vertices = np.unique(surface_tris_orig)
     remap = np.full(int(tets.max()) + 1, -1, dtype=np.int64)
@@ -49,6 +57,10 @@ def triangle_edge_neighbors(faces: np.ndarray) -> np.ndarray:
     reference usage renderers/mesh_rasterizer.py:107-108).
     """
     faces = np.asarray(faces, dtype=np.int64)
+    from .. import native
+    nat = native.triangle_edge_neighbors(faces)
+    if nat is not None:
+        return nat
     F = faces.shape[0]
     e0 = faces[:, [0, 1]]
     e1 = faces[:, [1, 2]]
@@ -79,6 +91,10 @@ def tet_face_neighbors(tets: np.ndarray):
     reference tssplat_ext/tet_spheres/tet_spheres.cpp:148).
     """
     tets = np.asarray(tets, dtype=np.int64)
+    from .. import native
+    nat = native.tet_face_neighbors(tets)
+    if nat is not None:
+        return nat
     T = tets.shape[0]
     faces = tets[:, _TET_FACES].reshape(-1, 3)
     key = np.sort(faces, axis=1)

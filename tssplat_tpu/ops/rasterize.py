@@ -134,6 +134,191 @@ def rasterize_ids(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# 1b. Tiled visibility search — screen-space binning (TPU hot path)
+# ---------------------------------------------------------------------------
+#
+# The brute-force search tests every triangle against every pixel
+# (O(F*H*W)). GPUs rasterize with dedicated hardware (nvdiffrast); the TPU
+# idiom is screen-tile binning with static shapes: bin triangle bboxes into
+# (tile_h x tile_w)-pixel tiles (a sort-based top-K per tile keeps shapes
+# static), then depth-test only each tile's K candidates. tile_w=128 keeps
+# the pixel axis on the full VPU lane width. Typical speedup: F/K_eff, an
+# order of magnitude at GSO scale.
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p
+
+
+def default_tile_capacity(num_tris: int, resolution: Tuple[int, int],
+                          tile_h: int = 8, tile_w: int = 128) -> int:
+    """Heuristic per-tile triangle capacity: ~6x the uniform-density
+    expectation, clamped to [64, num_tris]."""
+    H, W = resolution
+    expect = num_tris * (tile_h * tile_w) / max(H * W, 1)
+    return max(128, min(_next_pow2(int(10 * expect) + 128),
+                        _next_pow2(num_tris)))
+
+
+def tile_overlap_counts(pos_clip, tri, resolution, tile_h=8, tile_w=128):
+    """Max per-tile candidate count over views (host diagnostic for choosing
+    ``k``; runs the same binning predicate as the tiled search)."""
+    H, W = resolution
+    sx, sy, _, v_ok = _screen(jax.lax.stop_gradient(pos_clip))
+    counts = []
+    for b in range(pos_clip.shape[0]):
+        ov = _bbox_tile_overlap(sx[b], sy[b], v_ok[b], tri, H, W,
+                                tile_h, tile_w)
+        counts.append(int(jnp.max(jnp.sum(ov, axis=-1))))
+    return max(counts)
+
+
+def _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w):
+    """(ntiles, F) bool: triangle bbox (pixel-center coords) intersects tile."""
+    vx = sx[tri]                                        # (F,3) NDC
+    vy = sy[tri]
+    ok = v_ok[tri].all(axis=1)
+    # NDC -> pixel-center coordinates
+    px = (vx + 1.0) * 0.5 * W - 0.5
+    py = (vy + 1.0) * 0.5 * H - 0.5
+    xmin, xmax = px.min(axis=1), px.max(axis=1)
+    ymin, ymax = py.min(axis=1), py.max(axis=1)
+
+    nty, ntx = H // tile_h, W // tile_w
+    ty = jnp.arange(nty)
+    tx = jnp.arange(ntx)
+    # tile pixel ranges [t0, t1] in center coords
+    x0 = tx[:, None] * tile_w - 0.5
+    x1 = (tx[:, None] + 1) * tile_w - 0.5
+    y0 = ty[:, None] * tile_h - 0.5
+    y1 = (ty[:, None] + 1) * tile_h - 0.5
+
+    ox = (xmax[None, :] >= x0) & (xmin[None, :] <= x1)   # (ntx,F)
+    oy = (ymax[None, :] >= y0) & (ymin[None, :] <= y1)   # (nty,F)
+    ov = oy[:, None, :, ] & ox[None, :, :]               # (nty,ntx,F)
+    return (ov & ok[None, None, :]).reshape(nty * ntx, -1)
+
+
+def _rasterize_ids_tiled_one_view(pos, tri, resolution, tile_h, tile_w, k,
+                                  ck):
+    H, W = resolution
+    F = tri.shape[0]
+    sx, sy, sz, v_ok = _screen(pos)
+
+    ov = _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w)
+    ntiles = ov.shape[0]
+    nty, ntx = H // tile_h, W // tile_w
+
+    # static top-K select: sort (tri_id if overlapping else F) ascending
+    cand = jnp.where(ov, jnp.arange(F, dtype=jnp.int32)[None, :],
+                     jnp.int32(F))
+    cand = jax.lax.sort(cand, dimension=1)[:, :min(k, F)]
+    if cand.shape[1] < k:                                # capacity > F: pad
+        cand = jnp.pad(cand, ((0, 0), (0, k - cand.shape[1])),
+                       constant_values=F)                # (ntiles,k)
+
+    # padded geometry: index F -> dummy invalid entry
+    sx_e = jnp.concatenate([sx, jnp.zeros((1,), sx.dtype)])
+    sy_e = jnp.concatenate([sy, jnp.zeros((1,), sy.dtype)])
+    sz_e = jnp.concatenate([sz, jnp.zeros((1,), sz.dtype)])
+    ok_e = jnp.concatenate([v_ok, jnp.zeros((1,), jnp.bool_)])
+    tri_e = jnp.concatenate([tri, jnp.full((1, 3), 0, tri.dtype)])
+    valid_e = jnp.concatenate([jnp.ones((F,), jnp.bool_),
+                               jnp.zeros((1,), jnp.bool_)])
+
+    # per-tile pixel-center NDC grids
+    ty = jnp.arange(nty)
+    tx = jnp.arange(ntx)
+    lx = (jnp.arange(tile_w, dtype=pos.dtype) + 0.5)
+    ly = (jnp.arange(tile_h, dtype=pos.dtype) + 0.5)
+    gx = (tx[:, None] * tile_w + lx[None, :]) / W * 2.0 - 1.0   # (ntx,TW)
+    gy = (ty[:, None] * tile_h + ly[None, :]) / H * 2.0 - 1.0   # (nty,TH)
+    pxg = jnp.broadcast_to(gx[None, :, None, :], (nty, ntx, tile_h, tile_w)) \
+        .reshape(ntiles, tile_h, tile_w)
+    pyg = jnp.broadcast_to(gy[:, None, :, None], (nty, ntx, tile_h, tile_w)) \
+        .reshape(ntiles, tile_h, tile_w)
+
+    n_chunks = k // ck
+    cand_c = cand.reshape(ntiles, n_chunks, ck).transpose(1, 0, 2)
+
+    def body(state, ids):                                # ids (ntiles,ck)
+        best_z, best_id = state
+        t = tri_e[ids]                                   # (ntiles,ck,3)
+        ok = valid_e[ids] & ok_e[t].all(axis=-1)
+        ax, ay = sx_e[t[..., 0]], sy_e[t[..., 0]]        # (ntiles,ck)
+        bx, by = sx_e[t[..., 1]], sy_e[t[..., 1]]
+        cx, cy = sx_e[t[..., 2]], sy_e[t[..., 2]]
+
+        area = _edge(ax, ay, bx, by, cx, cy)
+        ok &= jnp.abs(area) > _AREA_EPS
+        inv_area = jnp.where(ok, 1.0 / jnp.where(ok, area, 1.0), 0.0)
+
+        def ef(PX, PY, QX, QY):
+            return _edge(PX[..., None, None], PY[..., None, None],
+                         QX[..., None, None], QY[..., None, None],
+                         pxg[:, None], pyg[:, None])     # (ntiles,ck,TH,TW)
+
+        e0 = ef(bx, by, cx, cy)
+        e1 = ef(cx, cy, ax, ay)
+        e2 = ef(ax, ay, bx, by)
+        ia = inv_area[..., None, None]
+        l0, l1, l2 = e0 * ia, e1 * ia, e2 * ia
+        covered = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & ok[..., None, None]
+
+        z = (l0 * sz_e[t[..., 0]][..., None, None]
+             + l1 * sz_e[t[..., 1]][..., None, None]
+             + l2 * sz_e[t[..., 2]][..., None, None])
+        covered &= (z >= -1.0) & (z <= 1.0)
+        z = jnp.where(covered, z, jnp.inf)
+
+        kbest = jnp.argmin(z, axis=1)                    # (ntiles,TH,TW)
+        zmin = jnp.take_along_axis(z, kbest[:, None], axis=1)[:, 0]
+        idmin = jnp.take_along_axis(ids[..., None, None]
+                                    .astype(jnp.int32) + 1,
+                                    kbest[:, None], axis=1)[:, 0]
+        take = zmin < best_z
+        return (jnp.where(take, zmin, best_z),
+                jnp.where(take, idmin, best_id)), None
+
+    init = (jnp.full((ntiles, tile_h, tile_w), jnp.inf, pos.dtype),
+            jnp.zeros((ntiles, tile_h, tile_w), jnp.int32))
+    (_, ids), _ = jax.lax.scan(body, init, cand_c)
+
+    img = ids.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3) \
+        .reshape(H, W)
+    return img
+
+
+def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
+                        resolution: Tuple[int, int], tile_h: int = 8,
+                        tile_w: int = 128, k: Optional[int] = None,
+                        ck: int = 16) -> jnp.ndarray:
+    """Tile-binned visibility search: (B,H,W) int32 winning ids (+1).
+
+    ``k`` is the static per-tile candidate capacity (default heuristic:
+    default_tile_capacity). Tiles whose true candidate count exceeds ``k``
+    silently drop the highest-indexed triangles — validate with
+    tile_overlap_counts when in doubt. Requires H % tile_h == W % tile_w == 0.
+    """
+    H, W = resolution
+    if H % tile_h or W % tile_w:
+        return rasterize_ids(pos_clip, tri, resolution)
+    F = tri.shape[0]
+    if k is None:
+        k = default_tile_capacity(F, resolution, tile_h, tile_w)
+    k = min(_next_pow2(k), _next_pow2(F))
+    ck = min(ck, k)
+    k = (k // ck) * ck
+    pos_clip = jax.lax.stop_gradient(pos_clip)
+    f = functools.partial(_rasterize_ids_tiled_one_view, tri=tri,
+                          resolution=resolution, tile_h=tile_h,
+                          tile_w=tile_w, k=k, ck=ck)
+    return jax.lax.map(f, pos_clip)
+
+
+# ---------------------------------------------------------------------------
 # 2. Differentiable shading of the winners
 # ---------------------------------------------------------------------------
 
@@ -179,16 +364,27 @@ def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
 
 def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
               resolution: Tuple[int, int], chunk: int = 64,
-              ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+              ids: Optional[jnp.ndarray] = None,
+              method: str = "auto") -> jnp.ndarray:
     """Full rasterization: (B,H,W,4) = (u, v, z/w, id+1).
 
-    ``ids`` may be supplied by an external visibility kernel (the Pallas
-    path); otherwise the chunked jnp search runs. Differentiable w.r.t.
-    pos_clip through (u, v, z/w) for fixed visibility, like nvdiffrast
-    with grad_db=False (reference renderers/mesh_rasterizer.py:103-104).
+    ``ids`` may be supplied by an external visibility kernel; otherwise the
+    visibility search runs here — ``method`` "tiled" (screen-space binning,
+    the TPU hot path), "chunked" (brute force, exact at any resolution), or
+    "auto" (tiled when the resolution is tile-aligned and the mesh is big
+    enough to benefit). Differentiable w.r.t. pos_clip through (u, v, z/w)
+    for fixed visibility, like nvdiffrast with grad_db=False (reference
+    renderers/mesh_rasterizer.py:103-104).
     """
     if ids is None:
-        ids = rasterize_ids(pos_clip, tri, resolution, chunk)
+        H, W = resolution
+        use_tiled = method == "tiled" or (
+            method == "auto" and H % 8 == 0 and W % 128 == 0
+            and tri.shape[0] >= 512)
+        if use_tiled:
+            ids = rasterize_ids_tiled(pos_clip, tri, resolution)
+        else:
+            ids = rasterize_ids(pos_clip, tri, resolution, chunk)
     return _shade_rast(pos_clip, tri, ids, resolution)
 
 
