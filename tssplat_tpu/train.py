@@ -166,6 +166,19 @@ def train(cfg):
     log_every = int(cfg.get("log_every", 1))
     export_every = int(cfg.get("export_every", 100))
 
+    # full-state checkpoint/resume (beyond the reference's mesh-artifact-only
+    # persistence, trainer.py:143-146)
+    checkpoint_every = int(cfg.get("checkpoint_every", 0))
+    ckpt_dir = os.path.join(out_path, "ckpt")
+    start_iter = 0
+    if cfg.get("resume", False):
+        from .utils.checkpoint import (latest_checkpoint_step,
+                                       restore_checkpoint)
+        if latest_checkpoint_step(ckpt_dir) is not None:
+            start_iter, state = restore_checkpoint(ckpt_dir, state)
+            start_iter += 1
+            print(f"resumed from checkpoint at iter {start_iter - 1}")
+
     steps = {}
 
     def get_step(fit_depth_on: bool):
@@ -180,7 +193,7 @@ def train(cfg):
     key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     t0 = time.time()
     n_steps = 0
-    for it in range(total_iters):
+    for it in range(start_iter, total_iters):
         # permute-surface perturbation (host-scheduled, fires rarely)
         if permute_scheduler is not None and fitting_stage == "geometry":
             dev = permute_scheduler(it)
@@ -201,6 +214,10 @@ def train(cfg):
         if it % log_every == 0:
             print("iter=%4d, img_loss=%.4f, reg_loss=%.4f"
                   % (it, float(img_loss), float(reg)), flush=True)
+
+        if checkpoint_every and it and it % checkpoint_every == 0:
+            from .utils.checkpoint import save_checkpoint
+            save_checkpoint(ckpt_dir, it, jax.device_get(state))
 
         if it % export_every == 0 and fitting_stage == "geometry":
             geometry.set_tet_v(state.params)

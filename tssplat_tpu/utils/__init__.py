@@ -1,0 +1,5 @@
+from .profiling import PrintExecTime, ThroughputMeter, trace_profile
+from .env import get_rank, get_world_size, init_distributed
+
+__all__ = ["PrintExecTime", "ThroughputMeter", "trace_profile",
+           "get_rank", "get_world_size", "init_distributed"]
