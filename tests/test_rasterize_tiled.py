@@ -81,3 +81,15 @@ def test_tiled_fallback_on_unaligned_resolution():
     out = rasterize_ids_tiled(pos, sf, (100, 100))   # not tile-aligned
     ref = rasterize_ids(pos, sf, (100, 100))
     assert (np.asarray(out) != np.asarray(ref)).sum() == 0
+
+
+def test_pallas_interpret_matches_brute_force():
+    """The Pallas visibility kernel (interpreter mode off-TPU) must agree
+    with the brute-force search exactly."""
+    from tssplat_tpu.ops.pallas_raster import rasterize_ids_pallas
+    pos, sf = _sphere_scene(n_views=2)
+    res = (64, 128)
+    a = np.asarray(rasterize_ids(pos, sf, res))
+    b = np.asarray(rasterize_ids_pallas(pos, sf, res, interpret=True))
+    assert ((a > 0) != (b > 0)).sum() == 0
+    assert (a != b).sum() == 0

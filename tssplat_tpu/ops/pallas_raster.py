@@ -1,0 +1,180 @@
+"""Pallas TPU visibility kernel: per-tile depth-tested triangle search.
+
+The XLA formulation of the tile-binned search (ops/rasterize.py
+rasterize_ids_tiled) round-trips every (tiles, chunk, tile_h, tile_w) edge
+intermediate through HBM across scan steps; measured on a v5e it spends
+~100 ms/view at 512^2 and minutes in compilation. This kernel keeps the
+whole per-tile loop in VMEM/registers:
+
+  grid = (views, tiles); block = one (tile_h x tile_w) pixel tile, the VPU's
+  native (8, 128) f32 shape. Per-tile candidate triangles (XLA pre-binned
+  and pre-gathered into a (12, K) screen-data block) are walked with a
+  fori_loop bounded by the tile's *actual* candidate count (scalar-prefetch),
+  so empty tiles cost nothing. Each iteration evaluates three inside-positive
+  edge functions + depth interpolation on the full pixel tile and updates a
+  running (best_z, best_id) in registers.
+
+Output and tie-breaking match the XLA/brute-force searches: smallest z/w in
+[-1, 1] wins, earliest candidate (ascending triangle id) on exact ties.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rasterize import (_screen, _bbox_tile_overlap, _next_pow2,
+                        default_tile_capacity, _AREA_EPS)
+
+_INF = float("inf")
+
+
+def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, *, tile_h, tile_w,
+                ntx, H, W):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    ty = t // ntx
+    tx = t % ntx
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) \
+        .astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) \
+        .astype(jnp.float32)
+    py = ((ty * tile_h).astype(jnp.float32) + row + 0.5) / H * 2.0 - 1.0
+    px = ((tx * tile_w).astype(jnp.float32) + col + 0.5) / W * 2.0 - 1.0
+
+    count = counts_ref[b * nt + t]
+
+    def body(i, carry):
+        best_z, best_id = carry
+        ax = data_ref[0, 0, 0, i]
+        ay = data_ref[0, 0, 1, i]
+        bx = data_ref[0, 0, 2, i]
+        by = data_ref[0, 0, 3, i]
+        cx = data_ref[0, 0, 4, i]
+        cy = data_ref[0, 0, 5, i]
+        z0 = data_ref[0, 0, 6, i]
+        z1 = data_ref[0, 0, 7, i]
+        z2 = data_ref[0, 0, 8, i]
+        inv_area = data_ref[0, 0, 9, i]
+        valid = data_ref[0, 0, 10, i]
+        tid = ids_ref[0, 0, 0, i]
+
+        e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
+        e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
+        e2 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * inv_area
+        z = e0 * z0 + e1 * z1 + e2 * z2
+        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (valid > 0) \
+            & (z >= -1.0) & (z <= 1.0)
+        zc = jnp.where(cov, z, _INF)
+        take = zc < best_z
+        return (jnp.where(take, zc, best_z),
+                jnp.where(take, tid, best_id))
+
+    init = (jnp.full((tile_h, tile_w), _INF, jnp.float32),
+            jnp.zeros((tile_h, tile_w), jnp.int32))
+    _, best_id = jax.lax.fori_loop(0, count, body, init)
+    out_ref[0, 0] = best_id
+
+
+def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k):
+    """One view: bin + pre-gather candidate screen data.
+
+    Returns (counts (ntiles,) i32, data (ntiles,12,K) f32,
+    ids (ntiles,1,K) i32 — triangle id + 1)."""
+    H, W = resolution
+    F = tri.shape[0]
+    sx, sy, sz, v_ok = _screen(pos)
+    ov = _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w)
+    counts = jnp.minimum(jnp.sum(ov, axis=-1), k).astype(jnp.int32)
+
+    cand = jnp.where(ov, jnp.arange(F, dtype=jnp.int32)[None, :],
+                     jnp.int32(F))
+    cand = jax.lax.sort(cand, dimension=1)[:, :min(k, F)]
+    if cand.shape[1] < k:
+        cand = jnp.pad(cand, ((0, 0), (0, k - cand.shape[1])),
+                       constant_values=F)
+
+    ext = lambda a: jnp.concatenate([a, jnp.zeros((1,), a.dtype)])  # noqa: E731
+    sx_e, sy_e, sz_e = ext(sx), ext(sy), ext(sz)
+    ok_e = jnp.concatenate([v_ok, jnp.zeros((1,), jnp.bool_)])
+    tri_e = jnp.concatenate([tri, jnp.zeros((1, 3), tri.dtype)])
+    valid_e = jnp.concatenate([jnp.ones((F,), jnp.bool_),
+                               jnp.zeros((1,), jnp.bool_)])
+
+    t3 = tri_e[cand]                                     # (ntiles,K,3)
+    ax, ay = sx_e[t3[..., 0]], sy_e[t3[..., 0]]
+    bx, by = sx_e[t3[..., 1]], sy_e[t3[..., 1]]
+    cx, cy = sx_e[t3[..., 2]], sy_e[t3[..., 2]]
+    z0, z1, z2 = sz_e[t3[..., 0]], sz_e[t3[..., 1]], sz_e[t3[..., 2]]
+    ok = valid_e[cand] & ok_e[t3].all(axis=-1)
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    ok &= jnp.abs(area) > _AREA_EPS
+    inv_area = jnp.where(ok, 1.0 / jnp.where(ok, area, 1.0), 0.0)
+
+    data = jnp.stack([ax, ay, bx, by, cx, cy, z0, z1, z2, inv_area,
+                      ok.astype(jnp.float32), jnp.zeros_like(ax)], axis=1)
+    ids = (cand + 1)[:, None, :]                         # (ntiles,1,K)
+    return counts, data, ids
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("resolution", "tile_h", "tile_w", "k",
+                                    "interpret"))
+def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
+                         resolution: Tuple[int, int], tile_h: int = 8,
+                         tile_w: int = 128, k: Optional[int] = None,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Winning (triangle id + 1) per pixel, (B,H,W) int32 — Pallas TPU path.
+
+    Same contract and capacity heuristic as rasterize_ids_tiled; set
+    ``interpret=True`` to run the kernel in interpreter mode off-TPU.
+    """
+    H, W = resolution
+    assert H % tile_h == 0 and W % tile_w == 0, "resolution must tile"
+    B = pos_clip.shape[0]
+    F = tri.shape[0]
+    if k is None:
+        k = default_tile_capacity(F, resolution, tile_h, tile_w)
+    k = min(_next_pow2(k), _next_pow2(F))
+    nty, ntx = H // tile_h, W // tile_w
+    ntiles = nty * ntx
+
+    pos_clip = jax.lax.stop_gradient(pos_clip)
+    prep = jax.vmap(lambda p: _prepare_candidates(p, tri, resolution,
+                                                  tile_h, tile_w, k))
+    counts, data, ids = prep(pos_clip)                   # (B,ntiles,…)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, ntiles),
+        in_specs=[
+            # SMEM: the K-loop reads per-candidate scalars at dynamic
+            # offsets, which VMEM vector loads cannot do
+            pl.BlockSpec((1, 1, 12, k), lambda b, t, c: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, k), lambda b, t, c: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile_h, tile_w),
+                               lambda b, t, c: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_vis_kernel, tile_h=tile_h, tile_w=tile_w,
+                               ntx=ntx, H=H, W=W)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
+                                       jnp.int32),
+        interpret=interpret,
+    )(counts.reshape(-1), data.reshape(B, ntiles, 12, k), ids)
+
+    return out.reshape(B, nty, ntx, tile_h, tile_w) \
+        .transpose(0, 1, 3, 2, 4).reshape(B, H, W)

@@ -378,10 +378,14 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     """
     if ids is None:
         H, W = resolution
-        use_tiled = method == "tiled" or (
-            method == "auto" and H % 8 == 0 and W % 128 == 0
-            and tri.shape[0] >= 512)
-        if use_tiled:
+        aligned = H % 8 == 0 and W % 128 == 0
+        big = tri.shape[0] >= 512
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if method == "pallas" or (method == "auto" and aligned and big
+                                  and on_tpu):
+            from .pallas_raster import rasterize_ids_pallas
+            ids = rasterize_ids_pallas(pos_clip, tri, resolution)
+        elif method == "tiled" or (method == "auto" and aligned and big):
             ids = rasterize_ids_tiled(pos_clip, tri, resolution)
         else:
             ids = rasterize_ids(pos_clip, tri, resolution, chunk)
