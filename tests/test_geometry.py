@@ -129,3 +129,24 @@ def test_linear_interpolate_scheduler():
     assert s(1500) is None            # not a freq multiple
     assert s(2000) == pytest.approx(0.01 * (1 - 1.0) + 0.001 * 1.0)
     assert s(3000) == pytest.approx(0.01 * (1 - 3.0) + 0.001 * 3.0)  # unclamped
+
+
+def test_vertex_tangents(sphere_cfg):
+    """Tangents are unit length and orthogonal to the vertex normals
+    (reference geometry/tetmesh_geometry.py:68-115 contract)."""
+    import jax.numpy as jnp
+    from tssplat_tpu.geometry.tet_geometry import (compute_vertex_normals,
+                                                   compute_vertex_tangents)
+    geo = TetMeshMultiSphereGeometry(sphere_cfg)
+    uv, uv_faces = geo.tetmesh.uv_atlas()
+    # per-corner UVs: expand surface verts to corners for the tangent calc
+    sv = geo.tet_v[geo.statics.surface_vid]
+    corner_pos = sv[geo.statics.surface_fid.reshape(-1)]
+    tri = jnp.arange(corner_pos.shape[0], dtype=jnp.int32).reshape(-1, 3)
+    nrm = compute_vertex_normals(corner_pos, tri)
+    tang = compute_vertex_tangents(corner_pos, tri, jnp.asarray(uv),
+                                   jnp.asarray(uv_faces, jnp.int32), nrm)
+    t = np.asarray(tang)
+    np.testing.assert_allclose(np.linalg.norm(t, axis=1), 1.0, atol=1e-4)
+    dots = np.abs(np.sum(t * np.asarray(nrm), axis=1))
+    assert np.percentile(dots, 95) < 1e-3

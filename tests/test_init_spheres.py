@@ -103,3 +103,16 @@ def test_full_init_pipeline(tmp_path):
         output_path=str(tmp_path / "out"),
         use_smooth_barrier=False))
     assert geo.tetmesh.num_tets > 100
+
+
+def test_full_min_sdf_skeleton(unit_sphere):
+    """Dedup + edge inheritance (reference data/utils.py:173-191): for a
+    sphere the skeleton collapses toward the center region."""
+    from tssplat_tpu.tools.init_spheres import full_min_sdf_skeleton
+    v, f = unit_sphere
+    pts, edges = full_min_sdf_skeleton(v * 0.5, f, num_iter=12)
+    assert pts.shape[0] < v.shape[0]          # deduplication happened
+    assert edges.shape[1] == 2
+    assert np.all(edges[:, 0] != edges[:, 1])
+    # points moved inward from the surface (radius 0.5)
+    assert np.linalg.norm(pts, axis=1).mean() < 0.45

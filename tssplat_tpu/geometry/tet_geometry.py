@@ -90,6 +90,48 @@ def compute_vertex_normals(v_pos: jax.Array, t_pos_idx: jax.Array) -> jax.Array:
     return v_nrm / jnp.linalg.norm(v_nrm, axis=-1, keepdims=True)
 
 
+def compute_vertex_tangents(v_pos: jax.Array, t_pos_idx: jax.Array,
+                            v_tex: jax.Array, t_tex_idx: jax.Array,
+                            v_nrm: Optional[jax.Array] = None) -> jax.Array:
+    """Per-vertex tangents from UVs, averaged over incident triangles and
+    orthonormalized against the vertex normals (reference:
+    geometry/tetmesh_geometry.py:68-115; unused by the main loop there but
+    part of the geometry API for tangent-space material work)."""
+    if v_nrm is None:
+        v_nrm = compute_vertex_normals(v_pos, t_pos_idx)
+    pos = [v_pos[t_pos_idx[:, i]] for i in range(3)]
+    tex = [v_tex[t_tex_idx[:, i]] for i in range(3)]
+
+    uve1 = tex[1] - tex[0]
+    uve2 = tex[2] - tex[0]
+    pe1 = pos[1] - pos[0]
+    pe2 = pos[2] - pos[0]
+    nom = pe1 * uve2[..., 1:2] - pe2 * uve1[..., 1:2]
+    denom = uve1[..., 0:1] * uve2[..., 1:2] - uve1[..., 1:2] * uve2[..., 0:1]
+    denom = jnp.where(denom > 0.0, jnp.maximum(denom, 1e-6),
+                      jnp.minimum(denom, -1e-6))
+    tang = nom / denom
+
+    S = v_pos.shape[0]
+    tangents = jnp.zeros_like(v_pos)
+    tansum = jnp.zeros_like(v_pos)
+    ones = jnp.ones_like(tang)
+    for i in range(3):
+        idx = t_pos_idx[:, i]
+        tangents = tangents + jax.ops.segment_sum(tang, idx, num_segments=S)
+        tansum = tansum + jax.ops.segment_sum(ones, idx, num_segments=S)
+    tangents = tangents / jnp.maximum(tansum, 1.0)
+
+    def normalize(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-20)
+
+    tangents = normalize(tangents)
+    tangents = normalize(tangents - jnp.sum(tangents * v_nrm, -1,
+                                            keepdims=True) * v_nrm)
+    return tangents
+
+
 class LinearInterpolateScheduler:
     """Fires every ``freq`` iters after ``start_iter`` with a linearly
     interpolated value; None otherwise (reference: trainer.py:18-31,

@@ -34,8 +34,8 @@ from .rasterize import (_screen, _bbox_tile_overlap, _next_pow2,
 _INF = float("inf")
 
 
-def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, *, tile_h, tile_w,
-                ntx, H, W):
+def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
+                tile_w, ntx, H, W):
     b = pl.program_id(0)
     t = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -79,8 +79,9 @@ def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, *, tile_h, tile_w,
 
     init = (jnp.full((tile_h, tile_w), _INF, jnp.float32),
             jnp.zeros((tile_h, tile_w), jnp.int32))
-    _, best_id = jax.lax.fori_loop(0, count, body, init)
+    best_z, best_id = jax.lax.fori_loop(0, count, body, init)
     out_ref[0, 0] = best_id
+    zout_ref[0, 0] = jnp.where(best_id > 0, best_z, 0.0)
 
 
 def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k):
@@ -126,15 +127,17 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k):
 
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "tile_h", "tile_w", "k",
-                                    "interpret"))
+                                    "interpret", "with_z"))
 def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                          resolution: Tuple[int, int], tile_h: int = 8,
                          tile_w: int = 128, k: Optional[int] = None,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False, with_z: bool = False):
     """Winning (triangle id + 1) per pixel, (B,H,W) int32 — Pallas TPU path.
 
     Same contract and capacity heuristic as rasterize_ids_tiled; set
     ``interpret=True`` to run the kernel in interpreter mode off-TPU.
+    ``with_z=True`` additionally returns the winner's z/w (B,H,W) f32
+    (non-differentiable — the silhouette fast path's depth channel).
     """
     H, W = resolution
     assert H % tile_h == 0 and W % tile_w == 0, "resolution must tile"
@@ -162,19 +165,29 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
             pl.BlockSpec((1, 1, 1, k), lambda b, t, c: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile_h, tile_w),
-                               lambda b, t, c: (b, t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((1, 1, tile_h, tile_w),
+                                lambda b, t, c: (b, t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, tile_h, tile_w),
+                                lambda b, t, c: (b, t, 0, 0),
+                                memory_space=pltpu.VMEM)),
     )
     kernel = functools.partial(_vis_kernel, tile_h=tile_h, tile_w=tile_w,
                                ntx=ntx, H=H, W=W)
-    out = pl.pallas_call(
+    out, zout = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
-                                       jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
+                                        jnp.float32)),
         interpret=interpret,
     )(counts.reshape(-1), data.reshape(B, ntiles, 12, k), ids)
 
-    return out.reshape(B, nty, ntx, tile_h, tile_w) \
-        .transpose(0, 1, 3, 2, 4).reshape(B, H, W)
+    def detile(a):
+        return a.reshape(B, nty, ntx, tile_h, tile_w) \
+            .transpose(0, 1, 3, 2, 4).reshape(B, H, W)
+
+    if with_z:
+        return detile(out), detile(zout)
+    return detile(out)

@@ -322,25 +322,45 @@ def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 # 2. Differentiable shading of the winners
 # ---------------------------------------------------------------------------
 
-def _gather_tri_clip(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray):
-    """Per-pixel clip-space vertices of the winning triangle: (B,…,3,4)."""
-    t = jnp.maximum(ids - 1, 0)                          # (B,H,W)
-    tv = tri[t]                                          # (B,H,W,3)
+def _gather_tri_screen(pos_clip: jnp.ndarray, tri: jnp.ndarray,
+                       ids: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel screen data of the winning triangle: (B,…,12) =
+    (ax,bx,cx, ay,by,cy, z0,z1,z2, iw0,iw1,iw2).
+
+    Screen conversion happens once per (view, triangle vertex) in a small
+    (B,F+1,12) table; per-pixel access is a single flat row gather (6.3M
+    12-float rows at 512^2x8 instead of a double-indirect (…,3,4) clip
+    gather) — TPU gathers dominate the shading cost, so this layout is the
+    hot-path structure shared (via XLA CSE) by shading and antialiasing.
+    Background pixels hit an all-zero dummy row.
+    """
     B = pos_clip.shape[0]
-    bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)), 1)
-    return pos_clip[bidx, tv]                            # (B,H,W,3,4)
+    F = tri.shape[0]
+    sx, sy, szw, valid = _screen(pos_clip)               # each (B,V)
+    iw = jnp.where(valid, 1.0 / jnp.maximum(pos_clip[..., 3], _W_EPS), 0.0)
+
+    def face(a):                                         # (B,V) -> (B,F,3)
+        return a[:, tri]
+
+    tbl = jnp.concatenate([face(sx), face(sy), face(szw), face(iw)],
+                          axis=-1)                       # (B,F,12)
+    tbl = jnp.concatenate(
+        [tbl, jnp.zeros((B, 1, 12), tbl.dtype)], axis=1)  # dummy bg row
+    t = jnp.where(ids > 0, ids - 1, F)                   # (B,…)
+    bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)))
+    flat = (bidx * (F + 1) + t).reshape(-1)
+    return tbl.reshape(B * (F + 1), 12)[flat].reshape(*ids.shape, 12)
 
 
 def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
                 resolution: Tuple[int, int]) -> jnp.ndarray:
-    v = _gather_tri_clip(pos_clip, tri, ids)             # (B,H,W,3,4)
-    sx, sy, szw, _ = _screen(v)                          # each (B,H,W,3)
+    g = _gather_tri_screen(pos_clip, tri, ids)           # (B,H,W,12)
     px, py = _pixel_centers(resolution, pos_clip.dtype)  # (1,W),(H,1)
     px = px[None]
     py = py[None]
 
-    ax, bx, cx = sx[..., 0], sx[..., 1], sx[..., 2]
-    ay, by, cy = sy[..., 0], sy[..., 1], sy[..., 2]
+    ax, bx, cx = g[..., 0], g[..., 1], g[..., 2]
+    ay, by, cy = g[..., 3], g[..., 4], g[..., 5]
     area = _edge(ax, ay, bx, by, cx, cy)
     safe_area = jnp.where(jnp.abs(area) > _AREA_EPS, area, 1.0)
     l0 = _edge(bx, by, cx, cy, px, py) / safe_area
@@ -348,13 +368,12 @@ def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
     l2 = _edge(ax, ay, bx, by, px, py) / safe_area
 
     # perspective-correct barycentrics: weight by 1/w
-    iw = jnp.where(v[..., 3] > _W_EPS, 1.0 / jnp.maximum(v[..., 3], _W_EPS), 0.0)
-    d0, d1, d2 = l0 * iw[..., 0], l1 * iw[..., 1], l2 * iw[..., 2]
+    d0, d1, d2 = l0 * g[..., 9], l1 * g[..., 10], l2 * g[..., 11]
     s = d0 + d1 + d2
     s = jnp.where(jnp.abs(s) > _W_EPS, s, 1.0)
     u = d0 / s
     vv = d1 / s
-    zbuf = l0 * szw[..., 0] + l1 * szw[..., 1] + l2 * szw[..., 2]
+    zbuf = l0 * g[..., 6] + l1 * g[..., 7] + l2 * g[..., 8]
 
     fg = (ids > 0).astype(pos_clip.dtype)
     rast = jnp.stack([u * fg, vv * fg, zbuf * fg, ids.astype(pos_clip.dtype)],
@@ -390,6 +409,32 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         else:
             ids = rasterize_ids(pos_clip, tri, resolution, chunk)
     return _shade_rast(pos_clip, tri, ids, resolution)
+
+
+def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
+                         resolution: Tuple[int, int],
+                         method: str = "auto") -> jnp.ndarray:
+    """Silhouette-only rasterization: (B,H,W,4) with u=v=0 and
+    non-differentiable (z, id) channels.
+
+    The silhouette loss's gradient comes entirely from the antialias pass
+    (coverage is piecewise constant — same as nvdiffrast with grad_db=False,
+    reference renderers/mesh_rasterizer.py:103-108), so the differentiable
+    barycentric shading pass is pure overhead; this skips it. On TPU the
+    Pallas kernel emits z directly.
+    """
+    H, W = resolution
+    aligned = H % 8 == 0 and W % 128 == 0
+    big = tri.shape[0] >= 512
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if method == "pallas" or (method == "auto" and aligned and big and on_tpu):
+        from .pallas_raster import rasterize_ids_pallas
+        ids, z = rasterize_ids_pallas(pos_clip, tri, resolution, with_z=True)
+        zero = jnp.zeros_like(z)
+        return jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
+    rast = rasterize(pos_clip, tri, resolution, method=method)
+    rast = jax.lax.stop_gradient(rast)
+    return rast.at[..., 0:2].set(0.0)
 
 
 def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
@@ -502,9 +547,9 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     z = rast[..., 2]
     tri_idx = jnp.maximum(ids - 1, 0)
 
-    v = _gather_tri_clip(pos_clip, tri, ids)             # (B,H,W,3,4)
-    sx, sy, _, _ = _screen(v)
-    xy = jnp.stack([sx, sy], axis=-1)                    # (B,H,W,3,2)
+    g = _gather_tri_screen(pos_clip, tri, ids)           # (B,H,W,12) — same
+    # gather as the shading pass; XLA CSE merges them within one program
+    xy = jnp.stack([g[..., 0:3], g[..., 3:6]], axis=-1)  # (B,H,W,3,2)
 
     px, py = _pixel_centers((H, W), color.dtype)
     pcent = jnp.stack([jnp.broadcast_to(px, (H, W)),

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from ..config import parse_structured
 from ..geometry.tet_geometry import (geometry_forward, compute_vertex_normals,
                                      GeometryStatics)
-from ..ops.rasterize import rasterize, interpolate, antialias
+from ..ops.rasterize import (rasterize, rasterize_silhouette, interpolate,
+                             antialias)
 from ..ops.transform import transform_pos
 
 
@@ -62,7 +63,14 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
     res = (int(resolution), int(resolution))
 
     pos_clip = transform_pos(mvp, fwd.v_pos, is_ortho=is_ortho)
-    rast = rasterize(pos_clip, tri, res, chunk=chunk, ids=rast_ids)
+    silhouette_only = (only_alpha and not fit_normal and not fit_depth
+                      and rast_ids is None)
+    if silhouette_only:
+        # coverage gradients come only from the antialias pass — skip the
+        # differentiable barycentric shading entirely
+        rast = rasterize_silhouette(pos_clip, tri, res)
+    else:
+        rast = rasterize(pos_clip, tri, res, chunk=chunk, ids=rast_ids)
 
     # silhouette: coverage channel is (tri_id + 1), clamp to [0,1] then AA —
     # the sole source of coverage gradients (reference :106-108)

@@ -210,6 +210,30 @@ def min_sdf_skeleton(mesh_v, mesh_f, num_iter: int = 50,
     return skel
 
 
+def full_min_sdf_skeleton(mesh_v, mesh_f, num_iter: int = 50,
+                          lsds_mult: float = 0.6):
+    """Deduplicated skeleton points + skeleton edges inherited from the
+    surface mesh connectivity (reference: data/utils.py:173-191 — points
+    rounded to ~2e-3, mapped through a KD-tree, surface edges collapsed).
+    The (points, edges) pair feeds the skeleton-sweep (capsule) geometry."""
+    from scipy.spatial import KDTree
+
+    skel = min_sdf_skeleton(mesh_v, mesh_f, num_iter=num_iter,
+                            lsds_mult=lsds_mult)
+    reduced = np.unique(np.round(0.5 * skel, decimals=3), axis=0) * 2
+    tree = KDTree(reduced)
+    _, inds = tree.query(skel)
+
+    mesh_f = np.asarray(mesh_f)
+    mesh_edges = np.unique(np.sort(np.concatenate(
+        [mesh_f[:, [0, 1]], mesh_f[:, [1, 2]], mesh_f[:, [2, 0]]]), axis=1),
+        axis=0)
+    e = np.sort(inds[mesh_edges], axis=1)
+    e = e[e[:, 0] != e[:, 1]]
+    edges = np.unique(e, axis=0)
+    return reduced, edges
+
+
 def solve_milp(inner_set, point_set, radius_scaled, options):
     """Min-count set cover: A x >= 1 over coverage D[i,j] = (r_j > d_ij)
     (reference :388-420)."""

@@ -179,16 +179,37 @@ def train(cfg):
             start_iter += 1
             print(f"resumed from checkpoint at iter {start_iter - 1}")
 
+    # data parallelism over views: shard batches across the device mesh when
+    # the per-forward batch divides the device count (the reference's dormant
+    # world_size/rank seam made real, SURVEY.md §2.3)
+    mesh = None
+    batch_size = int(cfg.data.get("batch_size", 1))
+    n_dev = jax.device_count()
+    if (bool(cfg.get("data_parallel", True)) and n_dev > 1
+            and batch_size % n_dev == 0):
+        from .parallel import make_device_mesh, view_sharding, \
+            replicated_sharding, shard_batch
+        mesh = make_device_mesh()
+        print(f"data-parallel over {n_dev} devices (batch {batch_size})")
+
     steps = {}
 
     def get_step(fit_depth_on: bool):
         if fit_depth_on not in steps:
+            kw = {}
+            if mesh is not None:
+                kw = dict(batch_sharding=view_sharding(mesh),
+                          replicated_sharding=replicated_sharding(mesh))
             steps[fit_depth_on] = make_train_step(
                 geometry.statics, update_fn, fitting_stage=fitting_stage,
                 resolution=resolution, fit_depth=fit_depth_on,
                 is_ortho=is_ortho, material_fn=material_fn,
-                tet_v_frozen=geometry.tet_v)
+                tet_v_frozen=geometry.tet_v, **kw)
         return steps[fit_depth_on]
+
+    if mesh is not None:
+        from .parallel import replicated_sharding as _rs
+        state = jax.device_put(state, _rs(mesh))
 
     key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     t0 = time.time()
@@ -208,6 +229,9 @@ def train(cfg):
         for forw_id in range(num_forward_per_iter):
             batch = {k: v for k, v in dataloader(it, forw_id).items()
                      if k not in ("resolution", "spp")}
+            if mesh is not None:
+                from .parallel import shard_batch
+                batch = shard_batch(batch, mesh)
             state, (loss, img_loss, reg) = step_fn(state, batch, it)
             n_steps += 1
 
