@@ -1,0 +1,83 @@
+"""Golden end-to-end test on the GSO Mario asset shipped with the reference
+repository (mesh_data/mario_example/model.obj — the only real asset there,
+SURVEY.md §4b). Skipped when the reference mount is absent.
+
+Full product pipeline: real mesh -> synthetic multi-view dataset ->
+sphere-initialization (visual hull + skeleton + MILP) -> silhouette
+optimization -> exported artifacts + silhouette-fit improvement.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+MARIO = "/root/reference/mesh_data/mario_example/model.obj"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(MARIO),
+                                reason="reference asset not mounted")
+
+
+@pytest.mark.slow
+def test_mario_end_to_end(tmp_path):
+    from tssplat_tpu.mesh.io import load_obj
+    from tssplat_tpu.tools.synthetic import write_synthetic_dataset
+    from tssplat_tpu.tools.init_spheres import main_pipeline
+    from tssplat_tpu.config import ConfigDict
+    from tssplat_tpu.train import train
+
+    v, f = load_obj(MARIO)
+    # normalize into the standard bbox the pipeline assumes (~unit scale)
+    c = 0.5 * (v.max(axis=0) + v.min(axis=0))
+    v = (v - c) / np.abs(v - c).max() * 0.55
+
+    img = tmp_path / "img"
+    write_synthetic_dataset(str(img), v, f, n_views=10, resolution=128)
+
+    pts, radii = main_pipeline(str(img), "mario", str(tmp_path / "kp"),
+                               surf_res=32, num_iter=8)
+    assert pts.shape[0] >= 1
+
+    iters = 60
+    out = str(tmp_path / "out")
+    cfg = ConfigDict({
+        "fitting_stage": "geometry",
+        "geometry_type": "TetMeshMultiSphereGeometry",
+        "geometry": {"use_smooth_barrier": True,
+                     "smooth_barrier_param": {"smooth_eng_coeff": 2e-4,
+                                              "barrier_coeff": 2e-4,
+                                              "increase_order_iter": 1000},
+                     "key_points_file_path": str(tmp_path / "kp" / "mario.json"),
+                     "tetwild_cache_folder": str(tmp_path / "cache"),
+                     "output_path": out},
+        "dataloader_type": "MistubaImgDataLoader",
+        "data": {"dataset_config": {"image_root": str(img)},
+                 "world_size": 1, "rank": 0, "batch_size": 5,
+                 "total_num_iter": iters},
+        "optimizer": {"lr": 0.2, "grad_limit": True,
+                      "grad_limit_values": [0.01, 0.01],
+                      "grad_limit_iters": [iters]},
+        "output_path": out,
+        "total_num_iter": iters,
+        "use_permute_surface_v": False,
+        "log_every": 1000, "export_every": 10 ** 6,
+    })
+    state, geometry = train(cfg)
+
+    import jax.numpy as jnp
+    from tssplat_tpu.data import MitsubaImgDataset
+    from tssplat_tpu.render.pipeline import render_views
+    ds = MitsubaImgDataset({"image_root": str(img)})
+    mvp = jnp.asarray(np.stack(ds.all_mvp_mats))
+    tgt = np.stack(ds.all_tgt_imgs)[..., 3]
+    out0 = render_views(jnp.asarray(geometry.tetmesh.vtx_init, jnp.float32),
+                        geometry.statics, mvp, 0, 128)
+    out1 = render_views(state.params, geometry.statics, mvp, iters, 128)
+
+    def mse(pred):
+        return float(np.mean((np.asarray(pred[..., 0]) - tgt) ** 2))
+
+    assert np.isfinite(float(state.best_loss))
+    assert mse(out1.shaded) < 0.97 * mse(out0.shaded)
+    assert os.path.exists(os.path.join(out, "final", "final.veg"))

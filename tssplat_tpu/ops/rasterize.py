@@ -443,14 +443,25 @@ def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray) -> jnp.n
 
     attr: (V,C) shared across views or (B,V,C) per-view."""
     ids = rast[..., 3].astype(jnp.int32)                 # (B,H,W)
-    t = jnp.maximum(ids - 1, 0)
-    tv = tri[t]                                          # (B,H,W,3)
+    C = attr.shape[-1]
+    F = tri.shape[0]
+    # flat row gather from a per-face attribute table (see
+    # _gather_tri_screen — double-indirect per-pixel gathers are the TPU
+    # bottleneck)
     if attr.ndim == 2:
-        a = attr[tv]                                     # (B,H,W,3,C)
+        tbl = attr[tri].reshape(F, 3 * C)                # (F,3C)
+        tbl = jnp.concatenate([tbl, jnp.zeros((1, 3 * C), attr.dtype)])
+        t = jnp.where(ids > 0, ids - 1, F)
+        a = tbl[t.reshape(-1)].reshape(*ids.shape, 3, C)
     else:
         B = attr.shape[0]
-        bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)), 1)
-        a = attr[bidx, tv]
+        tbl = attr[:, tri].reshape(B, F, 3 * C)
+        tbl = jnp.concatenate([tbl, jnp.zeros((B, 1, 3 * C), attr.dtype)],
+                              axis=1)
+        t = jnp.where(ids > 0, ids - 1, F)
+        bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)))
+        flat = (bidx * (F + 1) + t).reshape(-1)
+        a = tbl.reshape(B * (F + 1), 3 * C)[flat].reshape(*ids.shape, 3, C)
     u = rast[..., 0:1]
     v = rast[..., 1:2]
     out = a[..., 0, :] * u + a[..., 1, :] * v + a[..., 2, :] * (1.0 - u - v)

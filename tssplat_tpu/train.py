@@ -211,6 +211,10 @@ def train(cfg):
         from .parallel import replicated_sharding as _rs
         state = jax.device_put(state, _rs(mesh))
 
+    from .utils.profiling import ThroughputMeter
+    meter = ThroughputMeter()
+    rays_per_forward = batch_size * resolution * resolution
+
     key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     t0 = time.time()
     n_steps = 0
@@ -234,10 +238,12 @@ def train(cfg):
                 batch = shard_batch(batch, mesh)
             state, (loss, img_loss, reg) = step_fn(state, batch, it)
             n_steps += 1
+            meter.update(1, rays_per_forward)
 
         if it % log_every == 0:
-            print("iter=%4d, img_loss=%.4f, reg_loss=%.4f"
-                  % (it, float(img_loss), float(reg)), flush=True)
+            print("iter=%4d, img_loss=%.4f, reg_loss=%.4f [%s]"
+                  % (it, float(img_loss), float(reg), meter.summary()),
+                  flush=True)
 
         if checkpoint_every and it and it % checkpoint_every == 0:
             from .utils.checkpoint import save_checkpoint
