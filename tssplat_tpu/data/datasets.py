@@ -141,27 +141,35 @@ class Wonder3DImgDataset(_BaseViews):
         imgs: list = [None] * len(views)
         ns: list = [None] * len(views)
 
+        def match_view(fname):
+            """Longest matching view name — 'front' must not claim
+            'front_right' files (the reference's first-match loop is
+            order-sensitive, dataset.py:60-64)."""
+            best = None
+            for i, v in enumerate(views):
+                if v in fname and (best is None or len(v) > len(views[best])):
+                    best = i
+            return best
+
         color_root = os.path.join(os.path.dirname(c.image_root), "masked_colors1")
         for f in sorted(os.listdir(color_root)):
-            for i, v in enumerate(views):
-                if v in f:
-                    img = _load_png(os.path.join(color_root, f))
-                    img = cv2.resize(img, (res, res), interpolation=cv2.INTER_CUBIC)
-                    img[..., 3] = np.where(img[..., 3] < 0.8, 0.0, 1.0)
-                    imgs[i] = img
-                    break
+            i = match_view(f)
+            if i is not None:
+                img = _load_png(os.path.join(color_root, f))
+                img = cv2.resize(img, (res, res), interpolation=cv2.INTER_CUBIC)
+                img[..., 3] = np.where(img[..., 3] < 0.8, 0.0, 1.0)
+                imgs[i] = img
 
         normal_root = os.path.join(os.path.dirname(c.image_root), "normals")
         if os.path.isdir(normal_root):
             for f in sorted(os.listdir(normal_root)):
-                for i, v in enumerate(views):
-                    if v in f:
-                        n = _load_png(os.path.join(normal_root, f))
-                        n = cv2.resize(n, (res, res),
-                                       interpolation=cv2.INTER_CUBIC)
-                        n[..., 0:3] = (n[..., 0:3] - 0.5) * 2.0
-                        ns[i] = n
-                        break
+                i = match_view(f)
+                if i is not None:
+                    n = _load_png(os.path.join(normal_root, f))
+                    n = cv2.resize(n, (res, res),
+                                   interpolation=cv2.INTER_CUBIC)
+                    n[..., 0:3] = (n[..., 0:3] - 0.5) * 2.0
+                    ns[i] = n
 
         self.all_tgt_imgs, self.all_mvp_mats, self.all_mv_mats = [], [], []
         self.all_campos, self.all_tgt_ns, self.all_tgt_ds = [], [], []

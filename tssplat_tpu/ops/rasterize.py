@@ -323,16 +323,20 @@ def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _gather_tri_screen(pos_clip: jnp.ndarray, tri: jnp.ndarray,
-                       ids: jnp.ndarray) -> jnp.ndarray:
+                       ids: jnp.ndarray,
+                       edge_nbrs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Per-pixel screen data of the winning triangle: (B,…,12) =
-    (ax,bx,cx, ay,by,cy, z0,z1,z2, iw0,iw1,iw2).
+    (ax,bx,cx, ay,by,cy, z0,z1,z2, iw0,iw1,iw2); with ``edge_nbrs`` the row
+    widens to 16: + (nbr0,nbr1,nbr2, sign(area)) for the antialias pass
+    (neighbor ids as exact small-int floats, orientation under
+    stop_gradient — both piecewise constant).
 
     Screen conversion happens once per (view, triangle vertex) in a small
-    (B,F+1,12) table; per-pixel access is a single flat row gather (6.3M
-    12-float rows at 512^2x8 instead of a double-indirect (…,3,4) clip
-    gather) — TPU gathers dominate the shading cost, so this layout is the
-    hot-path structure shared (via XLA CSE) by shading and antialiasing.
-    Background pixels hit an all-zero dummy row.
+    (B,F+1,C) table; per-pixel access is a single flat row gather (6.3M
+    rows at 512^2x8 instead of a double-indirect (…,3,4) clip gather) —
+    TPU gathers dominate the shading cost, so one gather must carry
+    everything downstream passes need. Background pixels hit an all-zero
+    dummy row.
     """
     B = pos_clip.shape[0]
     F = tri.shape[0]
@@ -342,14 +346,25 @@ def _gather_tri_screen(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     def face(a):                                         # (B,V) -> (B,F,3)
         return a[:, tri]
 
-    tbl = jnp.concatenate([face(sx), face(sy), face(szw), face(iw)],
-                          axis=-1)                       # (B,F,12)
+    cols = [face(sx), face(sy), face(szw), face(iw)]
+    C = 12
+    if edge_nbrs is not None:
+        fx, fy = face(sx), face(sy)
+        area = _edge(fx[..., 0], fy[..., 0], fx[..., 1], fy[..., 1],
+                     fx[..., 2], fy[..., 2])
+        sgn = jax.lax.stop_gradient(jnp.sign(area))[..., None]
+        nbrs = jnp.broadcast_to(edge_nbrs[None].astype(pos_clip.dtype),
+                                (B, F, 3))
+        cols += [nbrs, sgn]
+        C = 16
+
+    tbl = jnp.concatenate(cols, axis=-1)                 # (B,F,C)
     tbl = jnp.concatenate(
-        [tbl, jnp.zeros((B, 1, 12), tbl.dtype)], axis=1)  # dummy bg row
+        [tbl, jnp.zeros((B, 1, C), tbl.dtype)], axis=1)  # dummy bg row
     t = jnp.where(ids > 0, ids - 1, F)                   # (B,…)
     bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)))
     flat = (bidx * (F + 1) + t).reshape(-1)
-    return tbl.reshape(B * (F + 1), 12)[flat].reshape(*ids.shape, 12)
+    return tbl.reshape(B * (F + 1), C)[flat].reshape(*ids.shape, C)
 
 
 def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
@@ -472,12 +487,12 @@ def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray) -> jnp.n
 # 3. Antialiasing (silhouette-edge coverage blending)
 # ---------------------------------------------------------------------------
 
-def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, xy_a_tris, xy_b_tris,
-              pa, pb, tri_a, tri_b, edge_nbrs):
+def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
     """Compute AA color deltas for one axis of pixel pairs.
 
     a/b are the two pixels of each pair; p* are their NDC centers (…,2);
-    xy_*_tris are each pixel's winning-triangle screen vertices (…,3,2).
+    g_* are per-pixel 16-channel winner rows (_gather_tri_screen with
+    edge_nbrs): xy (6), z/iw (6), edge-neighbor ids (3), area sign (1).
     Returns (delta_a, delta_b) to add to the respective pixel colors.
     """
     differ = (id_a != id_b) & ((id_a > 0) | (id_b > 0))
@@ -485,25 +500,22 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, xy_a_tris, xy_b_tris,
     # then smaller depth.
     owner_a = jnp.where(id_a == 0, False,
                         jnp.where(id_b == 0, True, z_a <= z_b))
-    own_tri = jnp.where(owner_a, tri_a, tri_b)           # (…) int32 tri index
-    other_tri = jnp.where(owner_a, tri_b, tri_a)
-    xy = jnp.where(owner_a[..., None, None], xy_a_tris, xy_b_tris)  # (…,3,2)
+    other_tri = jnp.where(owner_a, id_b, id_a) - 1       # (…) int32 tri index
+    g = jnp.where(owner_a[..., None], g_a, g_b)          # (…,16) owner row
 
-    # inside-positive edge functions at both pixel centers
-    p0, p1, p2 = xy[..., 0, :], xy[..., 1, :], xy[..., 2, :]
-    area = _edge(p0[..., 0], p0[..., 1], p1[..., 0], p1[..., 1],
-                 p2[..., 0], p2[..., 1])
-    sgn = jnp.sign(area)
+    # inside-positive edge functions at both pixel centers (sign-corrected
+    # by the precomputed per-face orientation, channel 15)
+    sgn = g[..., 15]
 
-    def edge_vals(P, Q, X):
-        return _edge(P[..., 0], P[..., 1], Q[..., 0], Q[..., 1],
+    def edge_vals(j0, j1, X):
+        return _edge(g[..., j0], g[..., 3 + j0], g[..., j1], g[..., 3 + j1],
                      X[..., 0], X[..., 1]) * sgn
 
     # edge slots match triangle_edge_neighbors: (0,1), (1,2), (2,0)
-    sa = jnp.stack([edge_vals(p0, p1, pa), edge_vals(p1, p2, pa),
-                    edge_vals(p2, p0, pa)], axis=-1)     # (…,3)
-    sb = jnp.stack([edge_vals(p0, p1, pb), edge_vals(p1, p2, pb),
-                    edge_vals(p2, p0, pb)], axis=-1)
+    sa = jnp.stack([edge_vals(0, 1, pa), edge_vals(1, 2, pa),
+                    edge_vals(2, 0, pa)], axis=-1)       # (…,3)
+    sb = jnp.stack([edge_vals(0, 1, pb), edge_vals(1, 2, pb),
+                    edge_vals(2, 0, pb)], axis=-1)
 
     denom = sa - sb
     safe = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
@@ -512,22 +524,34 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, xy_a_tris, xy_b_tris,
     # owner at A: coverage region [0, t]; exit crossing = min over sa>=0>sb
     cross_exit = (sa >= 0) & (sb < 0)
     t_exit = jnp.where(cross_exit, t_all, jnp.inf)
-    k_exit = jnp.argmin(t_exit, axis=-1)
     # owner at B: coverage region [t, 1]; entry crossing = max over sa<0<=sb
     cross_entry = (sa < 0) & (sb >= 0)
     t_entry = jnp.where(cross_entry, t_all, -jnp.inf)
-    k_entry = jnp.argmax(t_entry, axis=-1)
+
+    # all axis-3 reductions/selections stay elementwise (argmin +
+    # take_along_axis over a size-3 axis lowers to slow TPU gathers)
+    def pick3(v, better):
+        """(value, k) of the best of 3 along the last axis."""
+        v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+        k01 = jnp.where(better(v1, v0), 1, 0)
+        b01 = jnp.where(better(v1, v0), v1, v0)
+        k = jnp.where(better(v2, b01), 2, k01)
+        return jnp.where(better(v2, b01), v2, b01), k
+
+    te, k_exit = pick3(t_exit, lambda x, y: x < y)
+    tn, k_entry = pick3(t_entry, lambda x, y: x > y)
 
     k = jnp.where(owner_a, k_exit, k_entry)
-    t = jnp.where(owner_a,
-                  jnp.take_along_axis(t_exit, k_exit[..., None], -1)[..., 0],
-                  jnp.take_along_axis(t_entry, k_entry[..., None], -1)[..., 0])
+    t = jnp.where(owner_a, te, tn)
     found = jnp.isfinite(t)
 
     # silhouette check: the crossing edge must not be shared with the other
-    # pixel's triangle (interior edges don't blend; background never shares)
-    nbr = edge_nbrs[own_tri, k]                          # (…)
-    shared = (nbr == other_tri) & (other_tri >= 0) & \
+    # pixel's triangle (interior edges don't blend; background never shares).
+    # Neighbor ids ride in the gathered row (channels 12..14) — triangle
+    # counts stay far below f32's 2^24 exact-integer range.
+    nbr = jnp.where(k == 0, g[..., 12],
+                    jnp.where(k == 1, g[..., 13], g[..., 14]))
+    shared = (nbr == other_tri.astype(g.dtype)) & (other_tri >= 0) & \
              jnp.where(owner_a, id_b > 0, id_a > 0)
 
     valid = differ & found & ~shared
@@ -556,11 +580,10 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     B, H, W, C = color.shape
     ids = rast[..., 3].astype(jnp.int32)
     z = rast[..., 2]
-    tri_idx = jnp.maximum(ids - 1, 0)
 
-    g = _gather_tri_screen(pos_clip, tri, ids)           # (B,H,W,12) — same
-    # gather as the shading pass; XLA CSE merges them within one program
-    xy = jnp.stack([g[..., 0:3], g[..., 3:6]], axis=-1)  # (B,H,W,3,2)
+    g = _gather_tri_screen(pos_clip, tri, ids,
+                           edge_nbrs=edge_nbrs)          # (B,H,W,16); one
+    # row gather carries everything the pair logic needs
 
     px, py = _pixel_centers((H, W), color.dtype)
     pcent = jnp.stack([jnp.broadcast_to(px, (H, W)),
@@ -573,9 +596,8 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     da, db = _aa_pairs(color[:, :, :-1], color[:, :, 1:],
                        ids[:, :, :-1], ids[:, :, 1:],
                        z[:, :, :-1], z[:, :, 1:],
-                       xy[:, :, :-1], xy[:, :, 1:],
-                       pcent[:, :, :-1], pcent[:, :, 1:],
-                       tri_idx[:, :, :-1], tri_idx[:, :, 1:], edge_nbrs)
+                       g[:, :, :-1], g[:, :, 1:],
+                       pcent[:, :, :-1], pcent[:, :, 1:])
     out = out + jnp.pad(da, ((0, 0), (0, 0), (0, 1), (0, 0)))
     out = out + jnp.pad(db, ((0, 0), (0, 0), (1, 0), (0, 0)))
 
@@ -583,9 +605,8 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     da, db = _aa_pairs(color[:, :-1], color[:, 1:],
                        ids[:, :-1], ids[:, 1:],
                        z[:, :-1], z[:, 1:],
-                       xy[:, :-1], xy[:, 1:],
-                       pcent[:, :-1], pcent[:, 1:],
-                       tri_idx[:, :-1], tri_idx[:, 1:], edge_nbrs)
+                       g[:, :-1], g[:, 1:],
+                       pcent[:, :-1], pcent[:, 1:])
     out = out + jnp.pad(da, ((0, 0), (0, 1), (0, 0), (0, 0)))
     out = out + jnp.pad(db, ((0, 0), (1, 0), (0, 0), (0, 0)))
     return out
