@@ -1,0 +1,66 @@
+"""Full-scale GSO-Mario reconstruction on the TPU + quality metrics."""
+import time, os, json
+t00=time.time()
+def log(m): print(f"[{time.time()-t00:6.1f}s] {m}", flush=True)
+import numpy as np
+from tssplat_tpu.mesh.io import load_obj
+from tssplat_tpu.tools.synthetic import write_synthetic_dataset
+from tssplat_tpu.tools.init_spheres import main_pipeline
+from tssplat_tpu.config import ConfigDict
+from tssplat_tpu.train import train
+
+root = "/tmp/mario_demo"
+os.makedirs(root, exist_ok=True)
+v, f = load_obj("/root/reference/mesh_data/mario_example/model.obj")
+c = 0.5*(v.max(0)+v.min(0)); v = (v-c)/np.abs(v-c).max()*0.55
+log(f"mario: {v.shape[0]} verts {f.shape[0]} faces")
+
+img = os.path.join(root, "img")
+if not os.path.exists(os.path.join(img, "img_rgba_59.png")):
+    write_synthetic_dataset(img, v, f, n_views=60, resolution=512)
+log("dataset written (60 views @ 512)")
+
+kp = os.path.join(root, "kp")
+if not os.path.exists(os.path.join(kp, "mario.json")):
+    pts, radii = main_pipeline(img, "mario", kp, surf_res=40, num_iter=20)
+    log(f"init spheres: {pts.shape[0]}")
+else:
+    log("init spheres cached")
+
+iters = 800
+out = os.path.join(root, "out")
+cfg = ConfigDict({
+  "fitting_stage": "geometry",
+  "geometry_type": "TetMeshMultiSphereGeometry",
+  "geometry": {"use_smooth_barrier": True,
+    "smooth_barrier_param": {"smooth_eng_coeff": 2e-4, "barrier_coeff": 2e-4,
+                             "increase_order_iter": 500},
+    "key_points_file_path": os.path.join(kp, "mario.json"),
+    "tetwild_cache_folder": os.path.join(root, "cache"),
+    "output_path": out},
+  "dataloader_type": "MistubaImgDataLoader",
+  "data": {"dataset_config": {"image_root": img},
+           "world_size": 1, "rank": 0, "batch_size": 60,
+           "total_num_iter": iters},
+  "optimizer": {"lr": 0.2, "grad_limit": True,
+                "grad_limit_values": [0.01, 0.01], "grad_limit_iters": [iters]},
+  "output_path": out, "total_num_iter": iters,
+  "use_permute_surface_v": False,
+  "log_every": 100, "export_every": 10**6,
+})
+state, geometry = train(cfg)
+log("training done")
+
+from tssplat_tpu.tools.metrics import mesh_chamfer, volume_iou
+sv0 = np.asarray(geometry.tetmesh.vtx_init)[geometry.tetmesh.surface_vid]
+svf = np.asarray(state.params)[geometry.tetmesh.surface_vid]
+sf = geometry.tetmesh.surface_fid
+cd0 = mesh_chamfer(sv0, sf, v, f)
+cd1 = mesh_chamfer(svf, sf, v, f)
+log(f"chamfer: init {cd0:.6f} -> final {cd1:.6f}")
+iou0 = volume_iou(sv0, sf, v, f, dim=64)
+iou1 = volume_iou(svf, sf, v, f, dim=64)
+log(f"volume IoU: init {iou0:.4f} -> final {iou1:.4f}")
+json.dump({"chamfer_init": cd0, "chamfer_final": cd1,
+           "iou_init": iou0, "iou_final": iou1},
+          open(os.path.join(root, "metrics.json"), "w"))

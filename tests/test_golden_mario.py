@@ -81,3 +81,20 @@ def test_mario_end_to_end(tmp_path):
     assert np.isfinite(float(state.best_loss))
     assert mse(out1.shaded) < 0.97 * mse(out0.shaded)
     assert os.path.exists(os.path.join(out, "final", "final.veg"))
+
+
+AVEG = "/root/reference/tssplat_ext/a.veg"
+
+
+@pytest.mark.skipif(not os.path.exists(AVEG), reason="reference not mounted")
+def test_reference_veg_interop():
+    """Our pure-Python .veg reader consumes the reference's real example
+    (written by libpgo) — 4500 verts / 22120 tets, all positively oriented."""
+    from tssplat_tpu.mesh.io import load_veg
+    from tssplat_tpu.mesh.tetmesh import TetMesh, tet_rest_matrices
+    v, t = load_veg(AVEG)
+    assert v.shape == (4500, 3) and t.shape == (22120, 4)
+    _, vol = tet_rest_matrices(v, t)
+    assert (vol > 0).all()
+    m = TetMesh(v, t)
+    assert m.surface_fid.shape[0] > 1000

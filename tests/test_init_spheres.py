@@ -116,3 +116,17 @@ def test_full_min_sdf_skeleton(unit_sphere):
     assert np.all(edges[:, 0] != edges[:, 1])
     # points moved inward from the surface (radius 0.5)
     assert np.linalg.norm(pts, axis=1).mean() < 0.45
+
+
+def test_chamfer_and_iou_metrics(unit_sphere):
+    from tssplat_tpu.tools.metrics import mesh_chamfer, volume_iou
+    v, f = unit_sphere
+    # identical meshes: ~0 chamfer, IoU ~1
+    cd = mesh_chamfer(v, f, v, f, n=4000)
+    assert cd < 5e-3   # sample-spacing noise floor at n=4000
+    assert volume_iou(v, f, v, f, dim=32) > 0.98
+    # scaled mesh: known gap
+    cd2 = mesh_chamfer(v, f, v * 0.8, f, n=4000)
+    assert 0.5 * (0.2 ** 2) < cd2 < 3 * (0.2 ** 2)
+    iou = volume_iou(v, f, v * 0.8, f, dim=32)
+    assert 0.4 < iou < 0.65     # (0.8^3 = 0.512)
