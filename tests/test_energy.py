@@ -182,3 +182,24 @@ def test_deformation_gradient_identity_at_rest():
                               ops.tets, ops.dX_inv)
     eye = np.broadcast_to(np.eye(3), F.shape)
     np.testing.assert_allclose(np.asarray(F), eye, atol=1e-4)
+
+
+def test_compute_G_matrix_matches_deformation_gradients(rng):
+    """Dense G operator (T,9,12) reproduces the gather-form deformation
+    gradients on arbitrary deformed states (reference oracle contract,
+    geometry/mesh_utils.py:38-69)."""
+    import jax.numpy as jnp
+    from tssplat_tpu.mesh.spheres import tet_sphere
+    from tssplat_tpu.ops.energy import compute_G_matrix, deformation_gradients
+    v, t = tet_sphere(0.12, radius=0.3)
+    G = compute_G_matrix(v, t)
+    x = v + rng.normal(scale=0.01, size=v.shape)
+    xj = jnp.asarray(x, jnp.float32)
+    xt = xj[jnp.asarray(t)]                         # (T,4,3)
+    F_dense = (G @ xt.reshape(-1, 12, 1))[..., 0].reshape(-1, 3, 3)
+    from tssplat_tpu.mesh.tetmesh import tet_rest_matrices
+    import numpy as np
+    dX_inv, _ = tet_rest_matrices(v, t)
+    F_gather = deformation_gradients(xj, jnp.asarray(t), jnp.asarray(dX_inv, jnp.float32))
+    np.testing.assert_allclose(np.asarray(F_dense), np.asarray(F_gather),
+                               atol=2e-4)

@@ -123,3 +123,31 @@ def test_texture_stage_converges(tex_root):
 
     # material artifact written
     assert os.path.exists(os.path.join(out, "final", "material", "material.npz"))
+
+
+def test_textured_obj_export(tmp_path):
+    """Texture bake writes obj + mtl + png with matching UV topology
+    (reference renderers/mesh_rasterizer.py:165-241)."""
+    from tssplat_tpu.mesh.spheres import tet_sphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+    from tssplat_tpu.geometry.tet_geometry import TetMeshGeometry
+    from tssplat_tpu.materials import ExplicitMaterial
+    from tssplat_tpu.materials.export import export_textured_obj
+
+    v, t = tet_sphere(0.1, radius=0.3)
+    geo = TetMeshGeometry(dict(use_smooth_barrier=False),
+                          tetmesh=TetMesh(v, t))
+    mat = ExplicitMaterial({"pos_encoding_config": {
+        "otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+        "log2_hashmap_size": 10, "base_resolution": 4, "per_level_scale": 1.6}})
+    export_textured_obj(geo, mat, str(tmp_path), "tex", texture_res=128)
+
+    out = tmp_path / "tex"
+    assert (out / "mesh.obj").exists()
+    assert (out / "material.mtl").exists()
+    assert (out / "texture_kd.png").exists()
+    content = (out / "mesh.obj").read_text()
+    assert "vt " in content and "mtllib material.mtl" in content
+    from PIL import Image
+    img = Image.open(out / "texture_kd.png")
+    assert img.size == (128, 128)

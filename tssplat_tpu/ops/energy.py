@@ -132,6 +132,38 @@ def smooth_barrier_energy(x: jax.Array, ops: EnergyOps, c1: jax.Array,
     return c1 * e_smooth + c2 * e_barrier
 
 
+def compute_G_matrix(verts, tets) -> jax.Array:
+    """Dense per-tet deformation-gradient operator G (T,9,12): flat(F_t) =
+    G_t @ x_t where x_t is the tet's 12 stacked vertex coordinates.
+
+    The dense-math spec of the sparse G built by the reference's native
+    extension (reference: geometry/mesh_utils.py:38-69 keeps exactly this
+    construction as the documentation of libpgo's operator; the CUDA path
+    consumes its sparse form, tet_spheres.cpp:148-149). Useful as a test
+    oracle and for spectral analysis; the hot path uses the factored
+    gather form (deformation_gradients).
+    """
+    verts = jnp.asarray(verts, jnp.float32)
+    tets = jnp.asarray(tets, jnp.int32)
+    v = verts[tets]                                       # (T,4,3)
+    dX = jnp.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]],
+                   axis=2)
+    dX_inv = jnp.linalg.inv(dX)                           # (T,3,3)
+
+    # F_ij = sum_k dx_ik * dXinv_kj with dx columns = edge vectors; expand
+    # edges in terms of the 4 vertices: edge_k = v_{k+1} - v_0
+    T = tets.shape[0]
+    G = jnp.zeros((T, 9, 12), jnp.float32)
+    for i in range(3):          # row of F
+        for j in range(3):      # col of F
+            r = i * 3 + j
+            for k in range(3):  # edge index
+                w = dX_inv[:, k, j]
+                G = G.at[:, r, 3 * (k + 1) + i].add(w)
+                G = G.at[:, r, 3 * 0 + i].add(-w)
+    return G
+
+
 def energy_coeff_schedule(it, smooth_coeff: float, barrier_coeff: float):
     """Coefficient ramp: x1 → x16 over ~1200 iterations.
 

@@ -28,16 +28,20 @@ DEFAULT_FAR = 10.0
 
 
 def transform_pos(mvp: jnp.ndarray, pos: jnp.ndarray,
-                  is_ortho: bool = False, ortho_z_div: float = 6.0) -> jnp.ndarray:
+                  is_ortho: bool = False, ortho_z_div: float = 6.0,
+                  is_vec: bool = False) -> jnp.ndarray:
     """World positions (V,3) -> clip space (B,V,4) for a batch of MVPs (B,4,4).
 
     Same math as the reference (renderers/mesh_rasterizer.py:57-79),
-    including the orthographic z/6 hack behind ``is_ortho``.
+    including the orthographic z/6 hack behind ``is_ortho`` and the
+    ``is_vec`` path (w=0 homogeneous coordinate — directions/normals,
+    no translation).
     """
-    ones = jnp.ones((*pos.shape[:-1], 1), dtype=pos.dtype)
-    posw = jnp.concatenate([pos, ones], axis=-1)          # (V,4)
+    pad = jnp.zeros((*pos.shape[:-1], 1), dtype=pos.dtype) if is_vec \
+        else jnp.ones((*pos.shape[:-1], 1), dtype=pos.dtype)
+    posw = jnp.concatenate([pos, pad], axis=-1)           # (V,4)
     res = jnp.einsum("vj,bij->bvi", posw, mvp)
-    if is_ortho:
+    if is_ortho and not is_vec:
         res = res.at[..., 2].divide(ortho_z_div)
     return res
 
