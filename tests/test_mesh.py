@@ -1,5 +1,4 @@
 import numpy as np
-import pytest
 
 from tssplat_tpu.mesh import (TetMesh, get_surface_vf, icosphere, load_veg,
                               save_veg, load_obj, save_obj, tet_sphere,

@@ -16,7 +16,6 @@ def wonder3d_root(tmp_path_factory):
     import jax.numpy as jnp
     from tssplat_tpu.ops.transform import transform_pos
     from tssplat_tpu.ops.rasterize import rasterize
-    from tssplat_tpu.mesh.surface import get_surface_vf
 
     root = tmp_path_factory.mktemp("w3d")
     views = ["front", "front_right", "right", "back", "left", "front_left"]

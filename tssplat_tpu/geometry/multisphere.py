@@ -26,8 +26,6 @@ import json
 import math
 import os
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 
 from ..config import parse_structured, GEOMETRIES

@@ -10,8 +10,6 @@ are dense-compute friendly and jit once; no BVH needed at this scale.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

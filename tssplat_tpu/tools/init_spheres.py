@@ -30,8 +30,6 @@ import glob
 import json
 import os
 import time
-from typing import Tuple
-
 import numpy as np
 
 from .voxel_mesh import surface_nets, laplacian_smooth

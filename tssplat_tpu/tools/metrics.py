@@ -8,8 +8,6 @@ voxelized occupancy grid.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 

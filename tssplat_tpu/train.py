@@ -26,7 +26,6 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
