@@ -122,3 +122,28 @@ def test_train_silhouette_convergence(dataset_dir):
     assert os.path.exists(os.path.join(final, "final.veg"))
     assert os.path.exists(os.path.join(final, "final_surface_mesh.obj"))
     assert os.path.exists(os.path.join(final, "final_sp0_vtx.npy"))
+
+
+def test_train_with_adam_optimizer(dataset_dir):
+    """optimizer.type=adam: the per-component production optimizer converges
+    much faster than the parity AdamUniform at equal iteration count."""
+    cfg = make_cfg(dataset_dir, "out_adam", iters=60)
+    cfg["optimizer"] = {"type": "adam", "lr": 5e-3}
+    state, geometry = train(cfg)
+    assert np.isfinite(float(state.best_loss))
+
+    from tssplat_tpu.data import MitsubaImgDataset
+    from tssplat_tpu.render.pipeline import render_views
+    import jax.numpy as jnp
+    ds = MitsubaImgDataset({"image_root": os.path.join(str(dataset_dir), "img")})
+    mvp = jnp.asarray(np.stack(ds.all_mvp_mats))
+    v0 = jnp.asarray(geometry.tetmesh.vtx_init, jnp.float32)
+    out0 = render_views(v0, geometry.statics, mvp, 0, RES)
+    out1 = render_views(state.params, geometry.statics, mvp, 60, RES)
+    tgt = np.stack(ds.all_tgt_imgs)[..., 3]
+
+    def mse(pred):
+        return float(np.mean((np.asarray(pred[..., 0]) - tgt) ** 2))
+
+    # 60 adam iters must decisively beat 100 capped AdamUniform iters (~7%)
+    assert mse(out1.shaded) < 0.8 * mse(out0.shaded)

@@ -139,10 +139,30 @@ def train(cfg):
     resolution = int(dataloader.data_all["resolution"])
 
     opt_cfg = dict(cfg.get("optimizer", {}))
+    opt_type = opt_cfg.pop("type", "adam_uniform")
     lr = opt_cfg.pop("lr", 0.1)
-    schedule = cosine_annealing_lr(lr, total_iters * num_forward_per_iter,
-                                   eta_min=1e-4)
-    init_fn, update_fn = adam_uniform(schedule, **opt_cfg)
+    if opt_type == "adam_uniform":
+        # reference optimizer (utils/optimizer.py) — exact parity default
+        schedule = cosine_annealing_lr(lr, total_iters * num_forward_per_iter,
+                                       eta_min=1e-4)
+        init_fn, update_fn = adam_uniform(schedule, **opt_cfg)
+    elif opt_type == "adam":
+        # per-component Adam: at multi-sphere scale the reference's global
+        # max-normalization starves the sparse silhouette gradient (most
+        # vertices receive near-zero updates); plain Adam converges ~25x
+        # faster on GSO Mario (see BASELINE.md)
+        import optax
+        sched = optax.cosine_decay_schedule(
+            lr, total_iters * num_forward_per_iter,
+            alpha=opt_cfg.pop("eta_min", 1e-4) / max(lr, 1e-12))
+        opt = optax.adam(sched, b1=opt_cfg.pop("b1", 0.9),
+                         b2=opt_cfg.pop("b2", 0.999))
+        init_fn = opt.init
+
+        def update_fn(grads, state, params=None):
+            return opt.update(grads, state, params)
+    else:
+        raise ValueError(f"unknown optimizer type {opt_type!r}")
 
     permute_scheduler = None
     if cfg.get("use_permute_surface_v", False):
