@@ -27,8 +27,8 @@ if not os.path.exists(os.path.join(kp, "mario.json")):
 else:
     log("init spheres cached")
 
-iters = 800
-out = os.path.join(root, "out")
+iters = 400
+out = os.path.join(root, "out_adam")
 cfg = ConfigDict({
   "fitting_stage": "geometry",
   "geometry_type": "TetMeshMultiSphereGeometry",
@@ -36,14 +36,14 @@ cfg = ConfigDict({
     "smooth_barrier_param": {"smooth_eng_coeff": 2e-4, "barrier_coeff": 2e-4,
                              "increase_order_iter": 500},
     "key_points_file_path": os.path.join(kp, "mario.json"),
+    "load_precomputed_tetwild_mesh": True,
     "tetwild_cache_folder": os.path.join(root, "cache"),
     "output_path": out},
   "dataloader_type": "MistubaImgDataLoader",
   "data": {"dataset_config": {"image_root": img},
            "world_size": 1, "rank": 0, "batch_size": 60,
            "total_num_iter": iters},
-  "optimizer": {"lr": 0.2, "grad_limit": True,
-                "grad_limit_values": [0.01, 0.01], "grad_limit_iters": [iters]},
+  "optimizer": {"type": "adam", "lr": 2e-3},
   "output_path": out, "total_num_iter": iters,
   "use_permute_surface_v": False,
   "log_every": 100, "export_every": 10**6,

@@ -55,9 +55,36 @@ def mesh_chamfer(verts_a, faces_a, verts_b, faces_b, n: int = 30000,
                             sample_surface(verts_b, faces_b, n, seed + 1))
 
 
+def silhouette_iou(verts_a, faces_a, verts_b, faces_b, n_views: int = 12,
+                   resolution: int = 128) -> float:
+    """Mean multi-view silhouette IoU — robust for union-of-component meshes
+    where a nearest-face signed-distance inside test misfires on
+    self-overlapping geometry (volume_iou's caveat)."""
+    import jax.numpy as jnp
+    from ..ops.transform import fibonacci_views, transform_pos
+    from ..ops.rasterize import rasterize_ids
+
+    mvp, _, _ = fibonacci_views(n_views)
+    mvp = jnp.asarray(mvp, jnp.float32)
+
+    def sil(v, f):
+        pos = transform_pos(mvp, jnp.asarray(v, jnp.float32))
+        return np.asarray(rasterize_ids(pos, jnp.asarray(f, jnp.int32),
+                                        (resolution, resolution))) > 0
+
+    a = sil(verts_a, faces_a)
+    b = sil(verts_b, faces_b)
+    return float(np.logical_and(a, b).sum()
+                 / max(np.logical_or(a, b).sum(), 1))
+
+
 def volume_iou(verts_a, faces_a, verts_b, faces_b, dim: int = 64,
                bound: float = None) -> float:
-    """Occupancy IoU on a dim^3 grid (inside test via JAX signed distance)."""
+    """Occupancy IoU on a dim^3 grid (inside test via JAX signed distance).
+
+    Caveat: the nearest-face sign test assumes locally clean geometry; on
+    unions of mutually overlapping deformed components prefer
+    silhouette_iou."""
     import jax.numpy as jnp
     from ..ops.queries import signed_distance
 
