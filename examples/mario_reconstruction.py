@@ -1,4 +1,4 @@
-"""Full-scale GSO-Mario reconstruction on the TPU + quality metrics."""
+"""End-to-end GSO-Mario reconstruction demo on TPU: dataset -> sphere init -> silhouette optimization -> Chamfer/IoU metrics. Requires the reference asset mount (see tests/test_golden_mario.py for the reference-free variant)."""
 import time, os, json
 t00=time.time()
 def log(m): print(f"[{time.time()-t00:6.1f}s] {m}", flush=True)
@@ -51,16 +51,16 @@ cfg = ConfigDict({
 state, geometry = train(cfg)
 log("training done")
 
-from tssplat_tpu.tools.metrics import mesh_chamfer, volume_iou
+from tssplat_tpu.tools.metrics import mesh_chamfer, silhouette_iou
 sv0 = np.asarray(geometry.tetmesh.vtx_init)[geometry.tetmesh.surface_vid]
 svf = np.asarray(state.params)[geometry.tetmesh.surface_vid]
 sf = geometry.tetmesh.surface_fid
-cd0 = mesh_chamfer(sv0, sf, v, f)
-cd1 = mesh_chamfer(svf, sf, v, f)
+cd0 = mesh_chamfer(sv0, sf, v, f, n=20000)
+cd1 = mesh_chamfer(svf, sf, v, f, n=20000)
 log(f"chamfer: init {cd0:.6f} -> final {cd1:.6f}")
-iou0 = volume_iou(sv0, sf, v, f, dim=64)
-iou1 = volume_iou(svf, sf, v, f, dim=64)
-log(f"volume IoU: init {iou0:.4f} -> final {iou1:.4f}")
+iou0 = silhouette_iou(sv0, sf, v, f)
+iou1 = silhouette_iou(svf, sf, v, f)
+log(f"silhouette IoU: init {iou0:.4f} -> final {iou1:.4f}")
 json.dump({"chamfer_init": cd0, "chamfer_final": cd1,
-           "iou_init": iou0, "iou_final": iou1},
+           "sil_iou_init": iou0, "sil_iou_final": iou1},
           open(os.path.join(root, "metrics.json"), "w"))

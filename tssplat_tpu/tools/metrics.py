@@ -27,7 +27,7 @@ def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
 
 
 def chamfer_distance(a: np.ndarray, b: np.ndarray,
-                     chunk: int = 2048) -> float:
+                     chunk: int = 512) -> float:
     """Symmetric Chamfer-L2: mean_a min_b ||a-b||^2 + mean_b min_a ||a-b||^2."""
     import jax
     import jax.numpy as jnp
