@@ -151,3 +151,12 @@ def test_textured_obj_export(tmp_path):
     from PIL import Image
     img = Image.open(out / "texture_kd.png")
     assert img.size == (128, 128)
+
+
+def test_texture_stage_writes_textured_obj(tex_root):
+    """The texture-stage trainer ends with a baked-texture OBJ
+    (reference trainer.py:187-189)."""
+    out = os.path.join(str(tex_root), "out")
+    final = os.path.join(out, "final", "material")
+    assert os.path.exists(os.path.join(final, "mesh.obj"))
+    assert os.path.exists(os.path.join(final, "texture_kd.png"))

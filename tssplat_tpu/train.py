@@ -300,6 +300,12 @@ def train(cfg):
     if material is not None:
         material.params = state.params
         material.export(os.path.join(out_path, "final"), "material")
+        # textured OBJ bake (reference trainer.py:187-189 ->
+        # renderers/mesh_rasterizer.py:165-241)
+        from .materials.export import export_textured_obj
+        material.params = state.params
+        export_textured_obj(geometry, material,
+                            os.path.join(out_path, "final"), "material")
     return state, geometry
 
 
