@@ -97,12 +97,32 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k):
     H, W = resolution
     F = tri.shape[0]
     sx, sy, sz, v_ok = _screen(pos)
-    ov = _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w)
-    counts = jnp.minimum(jnp.sum(ov, axis=-1), k).astype(jnp.int32)
 
-    cand = jnp.where(ov, jnp.arange(F, dtype=jnp.int32)[None, :],
-                     jnp.int32(F))
-    cand = jax.lax.sort(cand, dimension=1, is_stable=False)[:, :min(k, F)]
+    # overlap in (F, ntiles) layout: the tile axis (multiple of 128) rides
+    # the lanes — the (ntiles, F) orientation costs ~30 ms/8 views on a v5e
+    # purely from unaligned-lane layouts
+    nty, ntx = H // tile_h, W // tile_w
+    vx = sx[tri]
+    vy = sy[tri]
+    ok = v_ok[tri].all(axis=1)
+    px = (vx + 1.0) * 0.5 * W - 0.5
+    py = (vy + 1.0) * 0.5 * H - 0.5
+    xmin, xmax = px.min(axis=1), px.max(axis=1)
+    ymin, ymax = py.min(axis=1), py.max(axis=1)
+    tx = jnp.arange(ntx, dtype=pos.dtype)
+    ty = jnp.arange(nty, dtype=pos.dtype)
+    ox = (xmax[:, None] >= tx[None] * tile_w - 0.5) \
+        & (xmin[:, None] <= (tx[None] + 1) * tile_w - 0.5)      # (F,ntx)
+    oy = (ymax[:, None] >= ty[None] * tile_h - 0.5) \
+        & (ymin[:, None] <= (ty[None] + 1) * tile_h - 0.5)      # (F,nty)
+    ovT = (oy[:, :, None] & ox[:, None, :] & ok[:, None, None]) \
+        .reshape(F, nty * ntx)                                   # (F,ntiles)
+
+    counts = jnp.minimum(jnp.sum(ovT, axis=0), k).astype(jnp.int32)
+    candT = jnp.where(ovT, jnp.arange(F, dtype=jnp.int32)[:, None],
+                      jnp.int32(F))
+    candT = jax.lax.sort(candT, dimension=0, is_stable=False)[:min(k, F)]
+    cand = candT.T                                               # (ntiles,k')
     if cand.shape[1] < k:
         cand = jnp.pad(cand, ((0, 0), (0, k - cand.shape[1])),
                        constant_values=F)
