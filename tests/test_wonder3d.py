@@ -87,3 +87,39 @@ def test_wonder3d_loader_batches(wonder3d_root):
     # GT composited over white background by alpha (dataloader.py:49-50)
     bg_px = np.asarray(batch["img"])[..., :3][np.asarray(batch["img"])[..., 3] == 0]
     np.testing.assert_allclose(bg_px, 1.0, atol=1e-6)
+
+
+def test_wonder3d_trainer_ortho_smoke(wonder3d_root, tmp_path):
+    """The full trainer runs on Wonder3D-layout data with the orthographic
+    projection path (renderer.is_orhto -> z/6, reference
+    renderers/mesh_rasterizer.py:76-77)."""
+    import json
+    from tssplat_tpu.config import ConfigDict
+    from tssplat_tpu.train import train
+
+    kp = tmp_path / "kp.json"
+    kp.write_text(json.dumps({"pt": [[0.0, 0.0, 0.0]], "r": [0.35]}))
+    out = str(tmp_path / "out")
+    cfg = ConfigDict({
+        "fitting_stage": "geometry",
+        "geometry_type": "TetMeshMultiSphereGeometry",
+        "geometry": {"use_smooth_barrier": False,
+                     "key_points_file_path": str(kp),
+                     "tetwild_cache_folder": str(tmp_path / "c"),
+                     "output_path": out},
+        "dataloader_type": "Wonder3DDataLoader",
+        "data": {"dataset_config": {
+                     "camera_mvp_root": str(wonder3d_root / "mvp"),
+                     "image_root": str(wonder3d_root / "imgs"),
+                     "resolution": 64},
+                 "world_size": 1, "rank": 0, "batch_size": 6,
+                 "total_num_iter": 8},
+        "renderer": {"context_type": "tpu", "is_orhto": True},
+        "optimizer": {"type": "adam", "lr": 3e-3},
+        "output_path": out, "total_num_iter": 8,
+        "use_permute_surface_v": False,
+        "log_every": 1000, "export_every": 10 ** 6,
+    })
+    state, geometry = train(cfg)
+    import numpy as np
+    assert np.isfinite(float(state.best_loss))
