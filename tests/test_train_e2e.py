@@ -159,3 +159,47 @@ def test_train_with_depth_and_normal_losses(dataset_dir):
     cfg["optimizer"] = {"type": "adam", "lr": 3e-3}
     state, geometry = train(cfg)
     assert np.isfinite(float(state.best_loss))
+
+
+def test_view_chunked_step_matches_unchunked(dataset_dir):
+    """view_chunk microbatching (rematerialized scan over view chunks) must
+    reproduce the full-batch loss and gradients."""
+    import jax
+    import jax.numpy as jnp
+    from tssplat_tpu.train import make_train_step, TrainState
+    from tssplat_tpu.optim import adam_uniform
+    from tssplat_tpu.config import load_geometry
+    from tssplat_tpu.data import MitsubaImgDataset
+
+    cfg = make_cfg(dataset_dir, "out_chunk", iters=5)
+    geo = load_geometry("TetMeshMultiSphereGeometry")(
+        dict(cfg.geometry, load_precomputed_tetwild_mesh=False))
+    ds = MitsubaImgDataset({"image_root": os.path.join(str(dataset_dir), "img")})
+    B = len(ds)
+    batch = {
+        "mvp": jnp.asarray(np.stack(ds.all_mvp_mats)),
+        "mv": jnp.asarray(np.stack(ds.all_mv_mats)),
+        "campos": jnp.asarray(np.stack(ds.all_campos)),
+        "img": jnp.asarray(np.stack(ds.all_tgt_imgs)),
+        "background": jnp.asarray(np.stack(ds.bgs)),
+        "n": jnp.zeros((B, RES, RES, 4), jnp.float32),
+        "d": jnp.zeros((B, RES, RES, 4), jnp.float32),
+    }
+    init_fn, update_fn = adam_uniform(0.1)
+
+    outs = {}
+    for chunk in (0, 2):
+        step = make_train_step(geo.statics, update_fn,
+                               fitting_stage="geometry", resolution=RES,
+                               fit_depth=False, is_ortho=False,
+                               view_chunk=chunk)
+        params = jnp.array(geo.tet_v)
+        state = TrainState(params=params, opt_state=init_fn(params),
+                           best_loss=jnp.float32(np.inf),
+                           best_iter=jnp.int32(0),
+                           best_params=jnp.array(params))
+        state, (loss, img_loss, reg) = step(state, batch, 0)
+        outs[chunk] = (float(loss), np.asarray(state.params))
+
+    np.testing.assert_allclose(outs[0][0], outs[2][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[2][1], atol=1e-6)

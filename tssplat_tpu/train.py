@@ -55,18 +55,23 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
                     resolution: int, fit_depth: bool, is_ortho: bool,
                     fit_normal: bool = False, normal_weight: float = 10.0,
                     material_fn=None, tet_v_frozen=None,
+                    view_chunk: int = 0,
                     batch_sharding=None, replicated_sharding=None):
     """Build the jitted train step. Static choices (stage, depth on/off,
-    resolution) bake into the compiled program; iteration number is traced."""
+    resolution) bake into the compiled program; iteration number is traced.
+
+    ``view_chunk`` > 0 microbatches the view axis: the render/loss runs in
+    rematerialized (jax.checkpoint) chunks so peak memory is one chunk's
+    activations regardless of batch size (the reference renders all 120
+    views at once, config/gso.yaml:30 — at 512^2 that is ~6 GB of gathered
+    screen data per step here; chunking removes the ceiling).
+    """
     only_alpha = fitting_stage == "geometry"
 
-    def loss_fn(params, batch, it):
-        if only_alpha:
-            tet_v, mat_params = params, None
-        else:
-            tet_v, mat_params = tet_v_frozen, params
+    def _img_loss(tet_v, mat_params, batch, it, with_energy):
+        geom = statics if with_energy else statics._replace(energy=None)
         out = render_views(
-            tet_v, statics, batch["mvp"], it, resolution,
+            tet_v, geom, batch["mvp"], it, resolution,
             only_alpha=only_alpha, material_fn=material_fn,
             material_params=mat_params, background=batch["background"],
             campos=batch["campos"], fit_depth=fit_depth,
@@ -91,8 +96,43 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             a = color_ref[..., -1:]
             img_loss = img_loss + normal_weight * jnp.mean(
                 (out.normal * a - batch["n"][..., :3] * a) ** 2)
+        return img_loss, out.geo_regularization
 
-        reg = out.geo_regularization if only_alpha else 0.0
+    _VIEW_KEYS = ("mvp", "mv", "campos", "img", "background", "n", "d")
+
+    def loss_fn(params, batch, it):
+        if only_alpha:
+            tet_v, mat_params = params, None
+        else:
+            tet_v, mat_params = tet_v_frozen, params
+
+        B = batch["mvp"].shape[0]
+        if view_chunk and B % view_chunk == 0 and B > view_chunk:
+            n_chunks = B // view_chunk
+
+            def reshape(v):
+                return v.reshape(n_chunks, view_chunk, *v.shape[1:])
+
+            chunked = {k: reshape(batch[k]) for k in _VIEW_KEYS if k in batch}
+
+            @jax.checkpoint
+            def one_chunk(carry, cb):
+                il, _ = _img_loss(tet_v, mat_params, cb, it,
+                                  with_energy=False)
+                return carry + il, None
+
+            total, _ = jax.lax.scan(one_chunk, jnp.zeros(()), chunked)
+            img_loss = total / n_chunks
+            if only_alpha and statics.energy is not None:
+                from .geometry.tet_geometry import geometry_forward
+                reg = geometry_forward(tet_v, statics, it).energy
+            else:
+                reg = 0.0
+        else:
+            img_loss, reg = _img_loss(tet_v, mat_params, batch, it,
+                                      with_energy=only_alpha)
+        if not only_alpha:
+            reg = 0.0
         loss = img_loss * 100.0 + reg
         return loss, (img_loss, reg)
 
@@ -234,6 +274,7 @@ def train(cfg):
                 resolution=resolution, fit_depth=fit_depth_on,
                 fit_normal=bool(cfg.get("fit_normal", False)),
                 normal_weight=float(cfg.get("fit_normal_weight", 10.0)),
+                view_chunk=int(cfg.get("view_chunk", 0)),
                 is_ortho=is_ortho, material_fn=material_fn,
                 tet_v_frozen=geometry.tet_v, **kw)
         return steps[fit_depth_on]
