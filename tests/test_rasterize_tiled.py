@@ -93,3 +93,46 @@ def test_pallas_interpret_matches_brute_force():
     b = np.asarray(rasterize_ids_pallas(pos, sf, res, interpret=True))
     assert ((a > 0) != (b > 0)).sum() == 0
     assert (a != b).sum() == 0
+
+
+def test_offscreen_mesh_renders_empty():
+    """A mesh fully outside the frustum produces pure background."""
+    pos, sf = _sphere_scene(n_views=1)
+    pos = pos + jnp.asarray([5.0, 0.0, 0.0, 0.0])     # shift NDC x by +5/w
+    for method in ("chunked", "tiled"):
+        ids = (rasterize(pos, sf, (128, 128), method=method)[..., 3] > 0)
+        assert not bool(np.asarray(ids).any())
+
+
+def test_partially_behind_camera_is_finite():
+    """Vertices behind the camera (w <= 0) are discarded per-triangle, and
+    the visible geometry still rasterizes with finite outputs."""
+    from tssplat_tpu.mesh.spheres import tet_sphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+    from tssplat_tpu.ops.transform import look_at, perspective
+    v, t = tet_sphere(0.08, radius=0.5)
+    mesh = TetMesh(v, t)
+    sv = jnp.asarray(mesh.vtx[mesh.surface_vid], jnp.float32)
+    sf2 = jnp.asarray(mesh.surface_fid, jnp.int32)
+    # camera INSIDE the sphere: part of the surface is behind the eye
+    mvp = (perspective(60.0) @ look_at([0.2, 0, 0], [1, 0, 0], [0, 1, 0]))
+    pos = transform_pos(jnp.asarray(mvp[None], jnp.float32), sv)
+    r = rasterize(pos, sf2, (64, 128), method="chunked")
+    assert np.isfinite(np.asarray(r)).all()
+    r2 = rasterize(pos, sf2, (64, 128), method="tiled")
+    assert np.isfinite(np.asarray(r2)).all()
+    # both agree on coverage
+    assert ((np.asarray(r[..., 3]) > 0) == (np.asarray(r2[..., 3]) > 0)).all()
+
+
+def test_degenerate_triangles_ignored():
+    """Zero-area triangles never win a pixel."""
+    v = jnp.asarray([[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.0, 0.5, 0.0],
+                     [0.9, 0.9, 0.0], [0.9, 0.9, 0.0], [0.9, 0.9, 0.0]],
+                    jnp.float32)
+    tri = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    from tssplat_tpu.ops.transform import fibonacci_views
+    mvp, _, _ = fibonacci_views(1)
+    pos = transform_pos(jnp.asarray(mvp, jnp.float32), v)
+    ids = np.asarray(rasterize_ids(pos, tri, (64, 64)))
+    assert set(np.unique(ids)) <= {0, 1}                 # tri 2 never appears
