@@ -30,6 +30,9 @@ class GeometryStatics(NamedTuple):
     surface_vid: jax.Array        # (S,) int32 — tet-vertex ids on the surface
     surface_fid: jax.Array        # (Fs,3) int32 — surface tris in surface ids
     edge_nbrs: jax.Array          # (Fs,3) int32 — AA edge adjacency (-1 open)
+    corner_vid: jax.Array         # (3*Fs,) int32 — tet-vertex id per face
+    # corner (surface_vid[surface_fid] flattened): one gather expands tet_v
+    # straight to the corner layout the TPU render path uses
     energy: Optional[EnergyOps]   # None when use_smooth_barrier=False
     # static python scalars (baked into the jitted step)
     smooth_coeff: float
@@ -194,6 +197,8 @@ class TetMeshGeometry:
             surface_vid=jnp.asarray(mesh.surface_vid, jnp.int32),
             surface_fid=jnp.asarray(mesh.surface_fid, jnp.int32),
             edge_nbrs=jnp.asarray(mesh.surface_edge_neighbors(), jnp.int32),
+            corner_vid=jnp.asarray(
+                mesh.surface_vid[mesh.surface_fid].reshape(-1), jnp.int32),
             energy=energy,
             smooth_coeff=float(sb.smooth_eng_coeff) * self._smooth_coeff_scale,
             barrier_coeff=float(sb.barrier_coeff),

@@ -84,7 +84,8 @@ def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
     zout_ref[0, 0] = jnp.where(best_id > 0, best_z, 0.0)
 
 
-def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k):
+def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
+                        corner=False):
     """One view: bin + pre-gather candidate screen data.
 
     Returns (counts (ntiles,) i32, data (ntiles,12,K) f32,
@@ -102,9 +103,14 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k):
     # the lanes — the (ntiles, F) orientation costs ~30 ms/8 views on a v5e
     # purely from unaligned-lane layouts
     nty, ntx = H // tile_h, W // tile_w
-    vx = sx[tri]
-    vy = sy[tri]
-    ok = v_ok[tri].all(axis=1)
+    if corner:
+        vx = sx.reshape(F, 3)
+        vy = sy.reshape(F, 3)
+        ok = v_ok.reshape(F, 3).all(axis=1)
+    else:
+        vx = sx[tri]
+        vy = sy[tri]
+        ok = v_ok[tri].all(axis=1)
     px = (vx + 1.0) * 0.5 * W - 0.5
     py = (vy + 1.0) * 0.5 * H - 0.5
     xmin, xmax = px.min(axis=1), px.max(axis=1)
@@ -128,16 +134,21 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k):
                        constant_values=F)
 
     # per-triangle screen table (F+1,12); row F = invalid dummy
-    ax, ay = sx[tri[:, 0]], sy[tri[:, 0]]
-    bx, by = sx[tri[:, 1]], sy[tri[:, 1]]
-    cx, cy = sx[tri[:, 2]], sy[tri[:, 2]]
-    z0, z1, z2 = sz[tri[:, 0]], sz[tri[:, 1]], sz[tri[:, 2]]
-    ok = v_ok[tri].all(axis=-1)
+    if corner:
+        zr = sz.reshape(F, 3)
+        ax, bx, cx = vx[:, 0], vx[:, 1], vx[:, 2]
+        ay, by, cy = vy[:, 0], vy[:, 1], vy[:, 2]
+        z0, z1, z2 = zr[:, 0], zr[:, 1], zr[:, 2]
+    else:
+        ax, ay = sx[tri[:, 0]], sy[tri[:, 0]]
+        bx, by = sx[tri[:, 1]], sy[tri[:, 1]]
+        cx, cy = sx[tri[:, 2]], sy[tri[:, 2]]
+        z0, z1, z2 = sz[tri[:, 0]], sz[tri[:, 1]], sz[tri[:, 2]]
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    ok &= jnp.abs(area) > _AREA_EPS
-    inv_area = jnp.where(ok, 1.0 / jnp.where(ok, area, 1.0), 0.0)
+    ok2 = ok & (jnp.abs(area) > _AREA_EPS)
+    inv_area = jnp.where(ok2, 1.0 / jnp.where(ok2, area, 1.0), 0.0)
     tbl = jnp.stack([ax, ay, bx, by, cx, cy, z0, z1, z2, inv_area,
-                     ok.astype(jnp.float32), jnp.zeros_like(ax)], axis=-1)
+                     ok2.astype(jnp.float32), jnp.zeros_like(ax)], axis=-1)
     tbl = jnp.concatenate([tbl, jnp.zeros((1, 12), tbl.dtype)], axis=0)
 
     data = tbl[cand.reshape(-1)].reshape(cand.shape[0], k, 12) \
@@ -148,11 +159,12 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k):
 
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "tile_h", "tile_w", "k",
-                                    "interpret", "with_z"))
+                                    "interpret", "with_z", "corner"))
 def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                          resolution: Tuple[int, int], tile_h: int = 8,
                          tile_w: int = 128, k: Optional[int] = None,
-                         interpret: bool = False, with_z: bool = False):
+                         interpret: bool = False, with_z: bool = False,
+                         corner: bool = False):
     """Winning (triangle id + 1) per pixel, (B,H,W) int32 — Pallas TPU path.
 
     Same contract and capacity heuristic as rasterize_ids_tiled; set
@@ -172,7 +184,8 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 
     pos_clip = jax.lax.stop_gradient(pos_clip)
     prep = jax.vmap(lambda p: _prepare_candidates(p, tri, resolution,
-                                                  tile_h, tile_w, k))
+                                                  tile_h, tile_w, k,
+                                                  corner=corner))
     counts, data, ids = prep(pos_clip)                   # (B,ntiles,…)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

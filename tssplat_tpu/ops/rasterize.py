@@ -324,7 +324,8 @@ def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 
 def _gather_tri_screen(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                        ids: jnp.ndarray,
-                       edge_nbrs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                       edge_nbrs: Optional[jnp.ndarray] = None,
+                       corner: bool = False) -> jnp.ndarray:
     """Per-pixel screen data of the winning triangle: (B,…,12) =
     (ax,bx,cx, ay,by,cy, z0,z1,z2, iw0,iw1,iw2); with ``edge_nbrs`` the row
     widens to 16: + (nbr0,nbr1,nbr2, sign(area)) for the antialias pass
@@ -343,8 +344,14 @@ def _gather_tri_screen(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     sx, sy, szw, valid = _screen(pos_clip)               # each (B,V)
     iw = jnp.where(valid, 1.0 / jnp.maximum(pos_clip[..., 3], _W_EPS), 0.0)
 
-    def face(a):                                         # (B,V) -> (B,F,3)
-        return a[:, tri]
+    if corner:
+        # corner layout: pos_clip rows are already (face, corner)-ordered —
+        # per-face access is a reshape, not a gather (TPU gathers serialize)
+        def face(a):
+            return a.reshape(B, F, 3)
+    else:
+        def face(a):                                     # (B,V) -> (B,F,3)
+            return a[:, tri]
 
     cols = [face(sx), face(sy), face(szw), face(iw)]
     C = 12
@@ -368,8 +375,9 @@ def _gather_tri_screen(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 
 
 def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
-                resolution: Tuple[int, int]) -> jnp.ndarray:
-    g = _gather_tri_screen(pos_clip, tri, ids)           # (B,H,W,12)
+                resolution: Tuple[int, int],
+                corner: bool = False) -> jnp.ndarray:
+    g = _gather_tri_screen(pos_clip, tri, ids, corner=corner)  # (B,H,W,12)
     px, py = _pixel_centers(resolution, pos_clip.dtype)  # (1,W),(H,1)
     px = px[None]
     py = py[None]
@@ -399,7 +407,7 @@ def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
 def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
               resolution: Tuple[int, int], chunk: int = 64,
               ids: Optional[jnp.ndarray] = None,
-              method: str = "auto") -> jnp.ndarray:
+              method: str = "auto", corner: bool = False) -> jnp.ndarray:
     """Full rasterization: (B,H,W,4) = (u, v, z/w, id+1).
 
     ``ids`` may be supplied by an external visibility kernel; otherwise the
@@ -418,17 +426,19 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         if method == "pallas" or (method == "auto" and aligned and big
                                   and on_tpu):
             from .pallas_raster import rasterize_ids_pallas
-            ids = rasterize_ids_pallas(pos_clip, tri, resolution)
+            ids = rasterize_ids_pallas(pos_clip, tri, resolution,
+                                       corner=corner)
         elif method == "tiled" or (method == "auto" and aligned and big):
             ids = rasterize_ids_tiled(pos_clip, tri, resolution)
         else:
             ids = rasterize_ids(pos_clip, tri, resolution, chunk)
-    return _shade_rast(pos_clip, tri, ids, resolution)
+    return _shade_rast(pos_clip, tri, ids, resolution, corner=corner)
 
 
 def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                          resolution: Tuple[int, int],
-                         method: str = "auto") -> jnp.ndarray:
+                         method: str = "auto",
+                         corner: bool = False) -> jnp.ndarray:
     """Silhouette-only rasterization: (B,H,W,4) with u=v=0 and
     non-differentiable (z, id) channels.
 
@@ -444,15 +454,17 @@ def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if method == "pallas" or (method == "auto" and aligned and big and on_tpu):
         from .pallas_raster import rasterize_ids_pallas
-        ids, z = rasterize_ids_pallas(pos_clip, tri, resolution, with_z=True)
+        ids, z = rasterize_ids_pallas(pos_clip, tri, resolution, with_z=True,
+                                      corner=corner)
         zero = jnp.zeros_like(z)
         return jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
-    rast = rasterize(pos_clip, tri, resolution, method=method)
+    rast = rasterize(pos_clip, tri, resolution, method=method, corner=corner)
     rast = jax.lax.stop_gradient(rast)
     return rast.at[..., 0:2].set(0.0)
 
 
-def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray,
+                corner: bool = False) -> jnp.ndarray:
     """Barycentric attribute interpolation (nvdiffrast dr.interpolate,
     reference renderers/mesh_rasterizer.py:117-118,145,153).
 
@@ -464,13 +476,15 @@ def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray) -> jnp.n
     # _gather_tri_screen — double-indirect per-pixel gathers are the TPU
     # bottleneck)
     if attr.ndim == 2:
-        tbl = attr[tri].reshape(F, 3 * C)                # (F,3C)
+        tbl = attr.reshape(F, 3 * C) if corner \
+            else attr[tri].reshape(F, 3 * C)             # (F,3C)
         tbl = jnp.concatenate([tbl, jnp.zeros((1, 3 * C), attr.dtype)])
         t = jnp.where(ids > 0, ids - 1, F)
         a = tbl[t.reshape(-1)].reshape(*ids.shape, 3, C)
     else:
         B = attr.shape[0]
-        tbl = attr[:, tri].reshape(B, F, 3 * C)
+        tbl = attr.reshape(B, F, 3 * C) if corner \
+            else attr[:, tri].reshape(B, F, 3 * C)
         tbl = jnp.concatenate([tbl, jnp.zeros((B, 1, 3 * C), attr.dtype)],
                               axis=1)
         t = jnp.where(ids > 0, ids - 1, F)
@@ -565,7 +579,8 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
 
 
 def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
-              tri: jnp.ndarray, edge_nbrs: jnp.ndarray) -> jnp.ndarray:
+              tri: jnp.ndarray, edge_nbrs: jnp.ndarray,
+              corner: bool = False) -> jnp.ndarray:
     """Analytic silhouette antialiasing (nvdiffrast dr.antialias semantics,
     pos_gradient_boost=1; reference renderers/mesh_rasterizer.py:107-108,128-129).
 
@@ -581,8 +596,8 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     ids = rast[..., 3].astype(jnp.int32)
     z = rast[..., 2]
 
-    g = _gather_tri_screen(pos_clip, tri, ids,
-                           edge_nbrs=edge_nbrs)          # (B,H,W,16); one
+    g = _gather_tri_screen(pos_clip, tri, ids, edge_nbrs=edge_nbrs,
+                           corner=corner)                # (B,H,W,16); one
     # row gather carries everything the pair logic needs
 
     px, py = _pixel_centers((H, W), color.dtype)

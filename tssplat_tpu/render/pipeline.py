@@ -62,43 +62,53 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
     tri = fwd.t_pos_idx
     res = (int(resolution), int(resolution))
 
-    pos_clip = transform_pos(mvp, fwd.v_pos, is_ortho=is_ortho)
+    # corner layout: ONE static gather expands tet_v to per-(face, corner)
+    # world positions; every downstream per-face access becomes a reshape
+    # (TPU gathers serialize — they were ~60% of the step)
+    F = tri.shape[0]
+    v_corner = tet_v[geom.corner_vid]                     # (3F,3)
+    tri_c = jnp.arange(3 * F, dtype=jnp.int32).reshape(F, 3)
+    pos_clip = transform_pos(mvp, v_corner, is_ortho=is_ortho)
+
     silhouette_only = (only_alpha and not fit_normal and not fit_depth
                       and rast_ids is None)
     if silhouette_only:
         # coverage gradients come only from the antialias pass — skip the
         # differentiable barycentric shading entirely
-        rast = rasterize_silhouette(pos_clip, tri, res)
+        rast = rasterize_silhouette(pos_clip, tri_c, res, corner=True)
     else:
-        rast = rasterize(pos_clip, tri, res, chunk=chunk, ids=rast_ids)
+        rast = rasterize(pos_clip, tri_c, res, chunk=chunk, ids=rast_ids,
+                         corner=True)
 
     # silhouette: coverage channel is (tri_id + 1), clamp to [0,1] then AA —
     # the sole source of coverage gradients (reference :106-108)
     alpha = jnp.clip(rast[..., 3:4], 0.0, 1.0)
-    alpha = antialias(alpha, rast, pos_clip, tri, geom.edge_nbrs)
+    alpha = antialias(alpha, rast, pos_clip, tri_c, geom.edge_nbrs,
+                      corner=True)
 
     shaded = alpha
     if not only_alpha:
         if material_fn is None or background is None:
             raise ValueError("color path needs material_fn and background")
         mask = (rast[..., 3:4] > 0).astype(pos_clip.dtype)
-        positions = interpolate(fwd.v_pos, rast, tri)       # (B,H,W,3)
+        positions = interpolate(v_corner, rast, tri_c, corner=True)
         color = material_fn(material_params, positions)     # (B,H,W,3)
         gb = background + (color - background) * mask       # lerp by mask
-        shaded = antialias(gb, rast, pos_clip, tri, geom.edge_nbrs)
+        shaded = antialias(gb, rast, pos_clip, tri_c, geom.edge_nbrs,
+                           corner=True)
 
     normal = None
     if fit_normal:
         v_nrm = compute_vertex_normals(fwd.v_pos, tri)
         if normal_flip_z:  # Wonder3D/GSO convention (reference :141-144)
             v_nrm = v_nrm * jnp.asarray([1.0, 1.0, -1.0], v_nrm.dtype)
-        normal = interpolate(v_nrm, rast, tri)
+        normal = interpolate(v_nrm[tri.reshape(-1)], rast, tri_c, corner=True)
 
     depth = None
     if fit_depth:
         if campos is None:
             raise ValueError("fit_depth needs campos")
-        wp = interpolate(fwd.v_pos, rast, tri)
+        wp = interpolate(v_corner, rast, tri_c, corner=True)
         depth = jnp.linalg.norm(wp - campos[:, None, None, :], axis=-1,
                                 keepdims=True)
 
