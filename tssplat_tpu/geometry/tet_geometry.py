@@ -224,6 +224,30 @@ class TetMeshGeometry:
         self.tetmesh = TetMesh(vtx_np, elem_np, surface_vid, surface_fid)
         self.setup()
 
+    def remesh(self, edge_length: Optional[float] = None,
+               grid_dim: int = 64) -> None:
+        """Re-tetrahedralize the volume enclosed by the CURRENT deformed
+        surface into fresh well-conditioned tets and reset the state.
+
+        The reference leaves this as a stub ("use tetwild to remesh",
+        geometry/tetmesh_geometry.py:174-175); here it is native
+        (mesh/remesh.py: SDF grid -> surface nets -> interior-filtered
+        Delaunay). Optimizer state must be re-initialized by the caller —
+        topology changes.
+        """
+        from ..mesh.remesh import tet_remesh_from_surface
+
+        if edge_length is None:
+            # median current edge length keeps resolution comparable
+            v = self.tetmesh.vtx
+            e = self.tetmesh.elem
+            d = np.linalg.norm(v[e[:, 0]] - v[e[:, 1]], axis=1)
+            edge_length = float(np.median(d))
+        sv, sf = self.tetmesh.surface_mesh()
+        new_v, new_t = tet_remesh_from_surface(sv, sf, edge_length,
+                                               grid_dim=grid_dim)
+        self.reset(new_v, new_t)
+
     def export(self, path: str, filename: str, **kwargs) -> None:
         self.tet_v_np = np.asarray(self.tet_v, dtype=np.float64)
         self.tetmesh.update_vtx_pos(self.tet_v_np)

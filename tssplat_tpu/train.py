@@ -291,6 +291,24 @@ def train(cfg):
     t0 = time.time()
     n_steps = 0
     for it in range(start_iter, total_iters):
+        # periodic remeshing: re-tetrahedralize the deformed volume and
+        # restart the optimizer on the fresh topology (the reference stubs
+        # this — geometry/tetmesh_geometry.py:174-175)
+        remesh_every = int(cfg.get("remesh_every", 0))
+        if (remesh_every and it > start_iter and fitting_stage == "geometry"
+                and it % remesh_every == 0):
+            geometry.set_tet_v(state.params)
+            geometry.tetmesh.update_vtx_pos(np.asarray(state.params))
+            geometry.remesh(grid_dim=int(cfg.get("remesh_grid_dim", 64)))
+            params = copy(geometry.tet_v)
+            state = TrainState(params=params, opt_state=init_fn(params),
+                               best_loss=jnp.asarray(jnp.inf, jnp.float32),
+                               best_iter=jnp.zeros((), jnp.int32),
+                               best_params=copy(params))
+            steps.clear()
+            print(f"remeshed at iter {it}: {geometry.tetmesh.num_vertices} "
+                  f"verts / {geometry.tetmesh.num_tets} tets", flush=True)
+
         # permute-surface perturbation (host-scheduled, fires rarely)
         if permute_scheduler is not None and fitting_stage == "geometry":
             dev = permute_scheduler(it)
