@@ -136,3 +136,61 @@ def test_degenerate_triangles_ignored():
     pos = transform_pos(jnp.asarray(mvp, jnp.float32), v)
     ids = np.asarray(rasterize_ids(pos, tri, (64, 64)))
     assert set(np.unique(ids)) <= {0, 1}                 # tri 2 never appears
+
+
+def test_kernel_winner_rows_match_gather():
+    """with_g: the kernel-emitted AA rows equal _gather_tri_screen on the
+    channels the AA pass consumes (xy 0..5, nbrs 12..14, sign 15), and the
+    custom-VJP reattachment reproduces the gather path's gradients."""
+    from tssplat_tpu.ops.pallas_raster import rasterize_ids_pallas
+    from tssplat_tpu.ops.rasterize import (_gather_tri_screen,
+                                           winner_screen_rows, antialias,
+                                           rasterize_silhouette)
+    from tssplat_tpu.mesh.surface import triangle_edge_neighbors
+    from tssplat_tpu.mesh.spheres import tet_sphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+
+    v, t = tet_sphere(0.06, radius=0.3)
+    mesh = TetMesh(v, t)
+    corner_vid = mesh.surface_vid[mesh.surface_fid].reshape(-1)
+    vc = jnp.asarray(mesh.vtx[corner_vid], jnp.float32)
+    Fn = mesh.surface_fid.shape[0]
+    tri_c = jnp.arange(3 * Fn, dtype=jnp.int32).reshape(Fn, 3)
+    nbrs = jnp.asarray(triangle_edge_neighbors(mesh.surface_fid), jnp.int32)
+    from tssplat_tpu.ops.transform import fibonacci_views
+    mvp, _, _ = fibonacci_views(2)
+    pos = transform_pos(jnp.asarray(mvp, jnp.float32), vc)
+    res = (64, 128)
+
+    ids, z, gk = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
+                                      corner=True, with_g=nbrs)
+    g_ref = _gather_tri_screen(pos, tri_c, ids, edge_nbrs=nbrs, corner=True)
+    for ch in list(range(6)) + [12, 13, 14, 15]:
+        np.testing.assert_allclose(np.asarray(gk[..., ch]),
+                                   np.asarray(g_ref[..., ch]), atol=1e-6,
+                                   err_msg=f"channel {ch}")
+
+    # gradient equality of the AA silhouette loss through both paths
+    def loss_via(g_mode):
+        def f(p):
+            if g_mode == "kernel":
+                i2, z2, gk2 = rasterize_ids_pallas(p, tri_c, res,
+                                                   interpret=True,
+                                                   corner=True, with_g=nbrs)
+            else:
+                i2, z2 = ids, z
+                gk2 = None
+            zero = jnp.zeros_like(z2)
+            rast = jnp.stack([zero, zero, z2, i2.astype(jnp.float32)], -1)
+            g = winner_screen_rows(p, tri_c, i2, nbrs, gk2, True) \
+                if g_mode == "kernel" else None
+            a = jnp.clip(rast[..., 3:4], 0, 1)
+            a = antialias(a, rast, p, tri_c, nbrs, corner=True,
+                          g_precomputed=g)
+            return jnp.sum((a - 0.4) ** 2)
+        return f
+
+    g1 = jax.grad(loss_via("kernel"))(pos)
+    g2 = jax.grad(loss_via("gather"))(pos)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+    assert float(jnp.abs(g2).max()) > 0

@@ -84,8 +84,83 @@ def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
     zout_ref[0, 0] = jnp.where(best_id > 0, best_z, 0.0)
 
 
+def _vis_kernel_g(counts_ref, data_ref, ids_ref, out_ref, zout_ref, g_ref, *,
+                  tile_h, tile_w, ntx, H, W):
+    """Visibility + winner-row emission: carries the winning candidate's
+    screen data (xy, edge-neighbor ids, orientation) through the depth loop
+    and writes it per pixel in _gather_tri_screen's 16-channel layout —
+    replacing the per-pixel row gather that dominates the silhouette
+    forward pass. Background pixels emit the all-zero row."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    ty = t // ntx
+    tx = t % ntx
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) \
+        .astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) \
+        .astype(jnp.float32)
+    py = ((ty * tile_h).astype(jnp.float32) + row + 0.5) / H * 2.0 - 1.0
+    px = ((tx * tile_w).astype(jnp.float32) + col + 0.5) / W * 2.0 - 1.0
+
+    count = counts_ref[b * nt + t]
+
+    def body(i, carry):
+        best_z, best_id, chans = carry
+        ax = data_ref[0, 0, 0, i]
+        ay = data_ref[0, 0, 1, i]
+        bx = data_ref[0, 0, 2, i]
+        by = data_ref[0, 0, 3, i]
+        cx = data_ref[0, 0, 4, i]
+        cy = data_ref[0, 0, 5, i]
+        z0 = data_ref[0, 0, 6, i]
+        z1 = data_ref[0, 0, 7, i]
+        z2 = data_ref[0, 0, 8, i]
+        inv_area = data_ref[0, 0, 9, i]
+        valid = data_ref[0, 0, 10, i]
+        n0 = data_ref[0, 0, 12, i]
+        n1 = data_ref[0, 0, 13, i]
+        n2 = data_ref[0, 0, 14, i]
+        tid = ids_ref[0, 0, 0, i]
+
+        e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
+        e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
+        e2 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * inv_area
+        z = e0 * z0 + e1 * z1 + e2 * z2
+        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (valid > 0) \
+            & (z >= -1.0) & (z <= 1.0)
+        zc = jnp.where(cov, z, _INF)
+        take = zc < best_z
+        sgn = jnp.sign(inv_area)
+        # channel order matches _gather_tri_screen: ax,bx,cx, ay,by,cy,
+        # (z/iw slots stay zero), nbr0..2, sign
+        new_vals = (ax, bx, cx, ay, by, cy, n0, n1, n2, sgn)
+        chans = tuple(jnp.where(take, v, c) for v, c in zip(new_vals, chans))
+        return (jnp.where(take, zc, best_z),
+                jnp.where(take, tid, best_id), chans)
+
+    zero = jnp.zeros((tile_h, tile_w), jnp.float32)
+    init = (jnp.full((tile_h, tile_w), _INF, jnp.float32),
+            jnp.zeros((tile_h, tile_w), jnp.int32),
+            tuple(zero for _ in range(10)))
+    best_z, best_id, chans = jax.lax.fori_loop(0, count, body, init)
+    fg = best_id > 0
+    out_ref[0, 0] = best_id
+    zout_ref[0, 0] = jnp.where(fg, best_z, 0.0)
+    fgf = fg.astype(jnp.float32)
+    for j in range(6):                   # ax,bx,cx,ay,by,cy
+        g_ref[0, 0, j] = chans[j] * fgf
+    for j in range(6, 12):               # unused z/iw slots
+        g_ref[0, 0, j] = zero
+    g_ref[0, 0, 12] = chans[6] * fgf
+    g_ref[0, 0, 13] = chans[7] * fgf
+    g_ref[0, 0, 14] = chans[8] * fgf
+    g_ref[0, 0, 15] = chans[9] * fgf
+
+
 def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
-                        corner=False):
+                        corner=False, edge_nbrs=None):
     """One view: bin + pre-gather candidate screen data.
 
     Returns (counts (ntiles,) i32, data (ntiles,12,K) f32,
@@ -147,12 +222,17 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     ok2 = ok & (jnp.abs(area) > _AREA_EPS)
     inv_area = jnp.where(ok2, 1.0 / jnp.where(ok2, area, 1.0), 0.0)
-    tbl = jnp.stack([ax, ay, bx, by, cx, cy, z0, z1, z2, inv_area,
-                     ok2.astype(jnp.float32), jnp.zeros_like(ax)], axis=-1)
-    tbl = jnp.concatenate([tbl, jnp.zeros((1, 12), tbl.dtype)], axis=0)
+    cols = [ax, ay, bx, by, cx, cy, z0, z1, z2, inv_area,
+            ok2.astype(jnp.float32), jnp.zeros_like(ax)]
+    if edge_nbrs is not None:
+        en = edge_nbrs.astype(pos.dtype)
+        cols += [en[:, 0], en[:, 1], en[:, 2], jnp.zeros_like(ax)]
+    R = len(cols)
+    tbl = jnp.stack(cols, axis=-1)
+    tbl = jnp.concatenate([tbl, jnp.zeros((1, R), tbl.dtype)], axis=0)
 
-    data = tbl[cand.reshape(-1)].reshape(cand.shape[0], k, 12) \
-        .transpose(0, 2, 1)                              # (ntiles,12,K)
+    data = tbl[cand.reshape(-1)].reshape(cand.shape[0], k, R) \
+        .transpose(0, 2, 1)                              # (ntiles,R,K)
     ids = (cand + 1)[:, None, :]                         # (ntiles,1,K)
     return counts, data, ids
 
@@ -164,13 +244,16 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                          resolution: Tuple[int, int], tile_h: int = 8,
                          tile_w: int = 128, k: Optional[int] = None,
                          interpret: bool = False, with_z: bool = False,
-                         corner: bool = False):
+                         corner: bool = False,
+                         with_g=None):
     """Winning (triangle id + 1) per pixel, (B,H,W) int32 — Pallas TPU path.
 
     Same contract and capacity heuristic as rasterize_ids_tiled; set
     ``interpret=True`` to run the kernel in interpreter mode off-TPU.
-    ``with_z=True`` additionally returns the winner's z/w (B,H,W) f32
-    (non-differentiable — the silhouette fast path's depth channel).
+    ``with_z=True`` additionally returns the winner's z/w (B,H,W) f32.
+    ``with_g=edge_nbrs`` additionally returns the winner's 16-channel AA
+    rows (xy + neighbor ids + orientation; z/iw slots zero) — all outputs
+    non-differentiable (reattach gradients with winner_screen_rows).
     """
     H, W = resolution
     assert H % tile_h == 0 and W % tile_w == 0, "resolution must tile"
@@ -181,12 +264,29 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     k = min(_next_pow2(k), _next_pow2(F))
     nty, ntx = H // tile_h, W // tile_w
     ntiles = nty * ntx
+    R = 12 if with_g is None else 16
 
     pos_clip = jax.lax.stop_gradient(pos_clip)
     prep = jax.vmap(lambda p: _prepare_candidates(p, tri, resolution,
                                                   tile_h, tile_w, k,
-                                                  corner=corner))
+                                                  corner=corner,
+                                                  edge_nbrs=with_g))
     counts, data, ids = prep(pos_clip)                   # (B,ntiles,…)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
+                                       jnp.int32),
+                  jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
+                                       jnp.float32)]
+    tile_spec = pl.BlockSpec((1, 1, tile_h, tile_w),
+                             lambda b, t, c: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = [tile_spec, tile_spec]
+    if with_g is not None:
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (B, ntiles, 16, tile_h, tile_w), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 16, tile_h, tile_w),
+                                      lambda b, t, c: (b, t, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -194,34 +294,33 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         in_specs=[
             # SMEM: the K-loop reads per-candidate scalars at dynamic
             # offsets, which VMEM vector loads cannot do
-            pl.BlockSpec((1, 1, 12, k), lambda b, t, c: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, R, k), lambda b, t, c: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, k), lambda b, t, c: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=(pl.BlockSpec((1, 1, tile_h, tile_w),
-                                lambda b, t, c: (b, t, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, tile_h, tile_w),
-                                lambda b, t, c: (b, t, 0, 0),
-                                memory_space=pltpu.VMEM)),
+        out_specs=tuple(out_specs),
     )
-    kernel = functools.partial(_vis_kernel, tile_h=tile_h, tile_w=tile_w,
+    kern = _vis_kernel if with_g is None else _vis_kernel_g
+    kernel = functools.partial(kern, tile_h=tile_h, tile_w=tile_w,
                                ntx=ntx, H=H, W=W)
-    out, zout = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
-                                        jnp.int32),
-                   jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
-                                        jnp.float32)),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(counts.reshape(-1), data.reshape(B, ntiles, 12, k), ids)
+    )(counts.reshape(-1), data.reshape(B, ntiles, R, k), ids)
 
     def detile(a):
         return a.reshape(B, nty, ntx, tile_h, tile_w) \
             .transpose(0, 1, 3, 2, 4).reshape(B, H, W)
 
+    if with_g is not None:
+        out, zout, g = results
+        g = g.reshape(B, nty, ntx, 16, tile_h, tile_w) \
+            .transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, 16)
+        return detile(out), detile(zout), g
+    out, zout = results
     if with_z:
         return detile(out), detile(zout)
     return detile(out)

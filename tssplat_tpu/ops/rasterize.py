@@ -339,6 +339,13 @@ def _gather_tri_screen(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     everything downstream passes need. Background pixels hit an all-zero
     dummy row.
     """
+    tbl = _build_screen_table(pos_clip, tri, edge_nbrs, corner)
+    return _row_gather(tbl, ids)
+
+
+def _build_screen_table(pos_clip, tri, edge_nbrs=None, corner=False):
+    """Per-face screen table (B, F+1, C) with a trailing all-zero bg row;
+    C = 12 (or 16 with edge_nbrs)."""
     B = pos_clip.shape[0]
     F = tri.shape[0]
     sx, sy, szw, valid = _screen(pos_clip)               # each (B,V)
@@ -366,12 +373,70 @@ def _gather_tri_screen(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         C = 16
 
     tbl = jnp.concatenate(cols, axis=-1)                 # (B,F,C)
-    tbl = jnp.concatenate(
+    return jnp.concatenate(
         [tbl, jnp.zeros((B, 1, C), tbl.dtype)], axis=1)  # dummy bg row
+
+
+def _row_gather(tbl, ids):
+    """Flat per-pixel row gather from a (B, F+1, C) table (bg -> row F)."""
+    B, F1, C = tbl.shape
+    F = F1 - 1
     t = jnp.where(ids > 0, ids - 1, F)                   # (B,…)
     bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)))
     flat = (bidx * (F + 1) + t).reshape(-1)
     return tbl.reshape(B * (F + 1), C)[flat].reshape(*ids.shape, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _winner_screen_rows_f(pos_clip, trif, idsf, edge_nbrsf, g_kernel, corner):
+    del pos_clip, trif, idsf, edge_nbrsf
+    return g_kernel
+
+
+def _wsr_fwd(pos_clip, trif, idsf, edge_nbrsf, g_kernel, corner):
+    return g_kernel, (pos_clip, trif, idsf, edge_nbrsf)
+
+
+def _wsr_bwd(corner, res, ct):
+    pos_clip, trif, idsf, edge_nbrsf = res
+    tri = trif.astype(jnp.int32)
+    ids = idsf.astype(jnp.int32)
+    edge_nbrs = edge_nbrsf.astype(jnp.int32)
+    B = pos_clip.shape[0]
+    F = tri.shape[0]
+    C = ct.shape[-1]
+    t = jnp.where(ids > 0, ids - 1, F)
+    bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)))
+    flat = (bidx * (F + 1) + t).reshape(-1)
+    d_tbl = jax.ops.segment_sum(ct.reshape(-1, C), flat,
+                                num_segments=B * (F + 1)) \
+        .reshape(B, F + 1, C)
+    _, vjp = jax.vjp(
+        lambda p: _build_screen_table(p, tri, edge_nbrs, corner), pos_clip)
+    (d_pos,) = vjp(d_tbl)
+    return (d_pos, jnp.zeros_like(trif), jnp.zeros_like(idsf),
+            jnp.zeros_like(edge_nbrsf), jnp.zeros_like(ct))
+
+
+_winner_screen_rows_f.defvjp(_wsr_fwd, _wsr_bwd)
+
+
+def winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel, corner):
+    """Differentiable per-pixel winner rows whose VALUE comes from the
+    visibility kernel (g_kernel, stop-grad) instead of a per-pixel gather —
+    TPU row gathers are the forward hot spot. Matches
+    _gather_tri_screen(pos_clip, tri, ids, edge_nbrs, corner) on the AA
+    channels (xy, neighbor ids, orientation; z/iw slots are zero). The VJP
+    is the true one: scatter pixel cotangents to the per-face table, then
+    backprop the (cheap, F-sized) table build.
+
+    Index arrays travel as floats (exact below 2^24) — custom_vjp forbids
+    tracers in nondiff_argnums and integer primals need float0 cotangents.
+    """
+    return _winner_screen_rows_f(pos_clip, tri.astype(jnp.float32),
+                                 ids.astype(jnp.float32),
+                                 edge_nbrs.astype(jnp.float32),
+                                 g_kernel, bool(corner))
 
 
 def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
@@ -461,6 +526,34 @@ def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     rast = rasterize(pos_clip, tri, resolution, method=method, corner=corner)
     rast = jax.lax.stop_gradient(rast)
     return rast.at[..., 0:2].set(0.0)
+
+
+def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
+                                   method: str = "auto",
+                                   corner: bool = False):
+    """Silhouette rasterization + the winner's differentiable AA rows.
+
+    On the Pallas path the kernel emits the per-pixel winner rows directly
+    (no row gather in the forward); gradients are reattached via
+    winner_screen_rows' custom VJP. Returns (rast, g) — g is None on
+    non-kernel paths (antialias then gathers as usual).
+    """
+    H, W = resolution
+    aligned = H % 8 == 0 and W % 128 == 0
+    big = tri.shape[0] >= 512
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if method == "pallas" or (method == "auto" and aligned and big and on_tpu):
+        from .pallas_raster import rasterize_ids_pallas
+        ids, z, g_kernel = rasterize_ids_pallas(pos_clip, tri, resolution,
+                                                corner=corner,
+                                                with_g=edge_nbrs)
+        zero = jnp.zeros_like(z)
+        rast = jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
+        g = winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel,
+                               corner)
+        return rast, g
+    return rasterize_silhouette(pos_clip, tri, resolution, method=method,
+                                corner=corner), None
 
 
 def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray,
@@ -580,7 +673,8 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
 
 def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
               tri: jnp.ndarray, edge_nbrs: jnp.ndarray,
-              corner: bool = False) -> jnp.ndarray:
+              corner: bool = False,
+              g_precomputed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Analytic silhouette antialiasing (nvdiffrast dr.antialias semantics,
     pos_gradient_boost=1; reference renderers/mesh_rasterizer.py:107-108,128-129).
 
@@ -596,8 +690,11 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     ids = rast[..., 3].astype(jnp.int32)
     z = rast[..., 2]
 
-    g = _gather_tri_screen(pos_clip, tri, ids, edge_nbrs=edge_nbrs,
-                           corner=corner)                # (B,H,W,16); one
+    if g_precomputed is not None:
+        g = g_precomputed                                # kernel-emitted rows
+    else:
+        g = _gather_tri_screen(pos_clip, tri, ids, edge_nbrs=edge_nbrs,
+                               corner=corner)            # (B,H,W,16); one
     # row gather carries everything the pair logic needs
 
     px, py = _pixel_centers((H, W), color.dtype)

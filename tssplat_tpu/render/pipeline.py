@@ -27,8 +27,8 @@ import jax.numpy as jnp
 from ..config import parse_structured
 from ..geometry.tet_geometry import (geometry_forward, compute_vertex_normals,
                                      GeometryStatics)
-from ..ops.rasterize import (rasterize, rasterize_silhouette, interpolate,
-                             antialias)
+from ..ops.rasterize import (rasterize, rasterize_silhouette_with_rows,
+                             interpolate, antialias)
 from ..ops.transform import transform_pos
 
 
@@ -72,10 +72,13 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
 
     silhouette_only = (only_alpha and not fit_normal and not fit_depth
                       and rast_ids is None)
+    g_rows = None
     if silhouette_only:
         # coverage gradients come only from the antialias pass — skip the
-        # differentiable barycentric shading entirely
-        rast = rasterize_silhouette(pos_clip, tri_c, res, corner=True)
+        # differentiable barycentric shading entirely; on TPU the kernel
+        # also emits the winner's AA rows (no forward row gather)
+        rast, g_rows = rasterize_silhouette_with_rows(
+            pos_clip, tri_c, res, geom.edge_nbrs, corner=True)
     else:
         rast = rasterize(pos_clip, tri_c, res, chunk=chunk, ids=rast_ids,
                          corner=True)
@@ -84,7 +87,7 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
     # the sole source of coverage gradients (reference :106-108)
     alpha = jnp.clip(rast[..., 3:4], 0.0, 1.0)
     alpha = antialias(alpha, rast, pos_clip, tri_c, geom.edge_nbrs,
-                      corner=True)
+                      corner=True, g_precomputed=g_rows)
 
     shaded = alpha
     if not only_alpha:
