@@ -107,7 +107,10 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             tet_v, mat_params = tet_v_frozen, params
 
         B = batch["mvp"].shape[0]
-        if view_chunk and B % view_chunk == 0 and B > view_chunk:
+        chunkable = (view_chunk and B % view_chunk == 0 and B > view_chunk
+                     and batch_sharding is None)  # chunked scan over a
+        # view-sharded batch axis would reshard every step — unsupported
+        if chunkable:
             n_chunks = B // view_chunk
 
             def reshape(v):
