@@ -130,3 +130,17 @@ def test_chamfer_and_iou_metrics(unit_sphere):
     assert 0.5 * (0.2 ** 2) < cd2 < 3 * (0.2 ** 2)
     iou = volume_iou(v, f, v * 0.8, f, dim=32)
     assert 0.4 < iou < 0.65     # (0.8^3 = 0.512)
+
+
+def test_sdf_binary_roundtrip(tmp_path):
+    """Vega binary .sdf writer/reader (reference
+    data/generate_init_spheres.py:92-110 format)."""
+    from tssplat_tpu.tools.voxel_mesh import save_sdf, load_sdf
+    rng = np.random.default_rng(0)
+    sdf = rng.normal(size=(9, 9, 9)).astype(np.float32)
+    p = tmp_path / "vol.sdf"
+    save_sdf(str(p), sdf, [-1.2, -1.2, -1.2], [1.2, 1.2, 1.2])
+    s2, bmin, bmax = load_sdf(str(p))
+    np.testing.assert_array_equal(s2, sdf)
+    np.testing.assert_allclose(bmin, -1.2)
+    np.testing.assert_allclose(bmax, 1.2)

@@ -104,3 +104,37 @@ def laplacian_smooth(verts: np.ndarray, faces: np.ndarray, iters: int = 4,
         np.add.at(acc, src, verts[dst])
         verts = verts + lam * (acc / deg[:, None] - verts)
     return verts
+
+
+def save_sdf(path: str, sdf: np.ndarray, bmin, bmax) -> None:
+    """Write a distance-field volume in the Vega binary .sdf layout the
+    reference init pipeline emits (reference:
+    data/generate_init_spheres.py:92-110): int32 (-dim, dim, dim), six
+    float64 bbox values, then the (dim^3) float32 grid."""
+    import struct
+
+    sdf = np.asarray(sdf, np.float32)
+    dim = sdf.shape[0]
+    assert sdf.shape == (dim, dim, dim)
+    bmin = np.asarray(bmin, np.float64)
+    bmax = np.asarray(bmax, np.float64)
+    with open(path, "wb") as f:
+        f.write(struct.pack("iii", -dim, dim, dim))
+        f.write(struct.pack("ddd", *bmin))
+        f.write(struct.pack("ddd", *bmax))
+        f.write(sdf.tobytes())
+
+
+def load_sdf(path: str):
+    """Read the Vega binary .sdf layout -> (sdf (d,d,d) f32, bmin, bmax)."""
+    import struct
+
+    with open(path, "rb") as f:
+        d0, d1, d2 = struct.unpack("iii", f.read(12))
+        dim = abs(d0)
+        assert (abs(d0), d1, d2) == (dim, dim, dim), "unexpected .sdf header"
+        bmin = np.asarray(struct.unpack("ddd", f.read(24)))
+        bmax = np.asarray(struct.unpack("ddd", f.read(24)))
+        sdf = np.frombuffer(f.read(dim ** 3 * 4), np.float32) \
+            .reshape(dim, dim, dim).copy()
+    return sdf, bmin, bmax
