@@ -194,3 +194,66 @@ def test_kernel_winner_rows_match_gather():
     g2 = jax.grad(loss_via("gather"))(pos)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
     assert float(jnp.abs(g2).max()) > 0
+
+
+def _concentrated_scene(F=2500, seed=0):
+    """F tiny random triangles all inside ONE 8x128 tile at 256x128 — the
+    uniform-density capacity heuristic under-provisions this by design
+    (expects ~F/32 per tile)."""
+    rng = np.random.default_rng(seed)
+    # pixel rows 80..87 = tile row 10 at tile_h=8; NDC y in (-0.372, -0.317)
+    cy = rng.uniform(-0.36, -0.33, F)
+    cx = rng.uniform(-0.9, 0.9, F)
+    ang = rng.uniform(0, 2 * np.pi, (F, 3))
+    r = 0.004
+    vx = (cx[:, None] + r * np.cos(ang)).astype(np.float32)
+    vy = (cy[:, None] + r * np.sin(ang)).astype(np.float32)
+    z = rng.uniform(0.1, 0.9, (F, 1)).astype(np.float32)
+    pos = np.stack([vx, vy, np.broadcast_to(z, (F, 3)).copy(),
+                    np.ones((F, 3), np.float32)], axis=-1)  # (F,3,4) NDC w=1
+    tri = np.arange(3 * F, dtype=np.int32).reshape(F, 3)
+    return jnp.asarray(pos.reshape(1, 3 * F, 4)), jnp.asarray(tri)
+
+
+def test_capacity_overflow_detected_and_fixed():
+    """A tile whose true candidate count exceeds the heuristic capacity
+    silently drops triangles; validate_tile_capacity measures the real
+    overlap and returns a k that restores exact brute-force coverage
+    (nvdiffrast never drops primitives — the trainer runs this validation
+    at startup/remesh)."""
+    from tssplat_tpu.ops.rasterize import validate_tile_capacity
+    pos, tri = _concentrated_scene()
+    res = (256, 128)
+    F = tri.shape[0]
+
+    brute = np.asarray(rasterize_ids(pos, tri, res))
+    assert (brute > 0).sum() > 0
+
+    k_default = default_tile_capacity(F, res)
+    need = tile_overlap_counts(pos, tri, res)
+    assert need > k_default          # the heuristic under-provisions here
+
+    dropped = np.asarray(rasterize_ids_tiled(pos, tri, res))  # heuristic k
+    assert ((brute > 0) & (dropped == 0)).sum() > 0           # silent drop
+
+    k = validate_tile_capacity(pos, tri, res)
+    assert k >= need
+    fixed = np.asarray(rasterize_ids_tiled(pos, tri, res, k=k))
+    assert ((brute > 0) != (fixed > 0)).sum() == 0            # full coverage
+    assert (brute != fixed).mean() < 1e-3                     # only fp ties
+
+
+def test_capacity_overflow_fixed_pallas_binning():
+    """Same overflow scenario through the Pallas prep's tiered
+    output-proportional binning (interpret mode): the validated k restores
+    exact coverage."""
+    from tssplat_tpu.ops.pallas_raster import rasterize_ids_pallas
+    from tssplat_tpu.ops.rasterize import validate_tile_capacity
+    pos, tri = _concentrated_scene(F=900)
+    res = (256, 128)
+    brute = np.asarray(rasterize_ids(pos, tri, res))
+    k = validate_tile_capacity(pos, tri, res)
+    out = np.asarray(rasterize_ids_pallas(pos, tri, res, k=k,
+                                          interpret=True))
+    assert ((brute > 0) != (out > 0)).sum() == 0
+    assert (brute != out).mean() < 1e-3

@@ -73,7 +73,10 @@ def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
         cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (valid > 0) \
             & (z >= -1.0) & (z <= 1.0)
         zc = jnp.where(cov, z, _INF)
-        take = zc < best_z
+        # tie-break on exact z by smaller triangle id: candidate lists from
+        # the pair-sort binning are NOT id-ordered, and the brute-force
+        # oracle resolves ties to the earliest (smallest) id
+        take = (zc < best_z) | ((zc == best_z) & cov & (tid < best_id))
         return (jnp.where(take, zc, best_z),
                 jnp.where(take, tid, best_id))
 
@@ -131,7 +134,8 @@ def _vis_kernel_g(counts_ref, data_ref, ids_ref, out_ref, zout_ref, g_ref, *,
         cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (valid > 0) \
             & (z >= -1.0) & (z <= 1.0)
         zc = jnp.where(cov, z, _INF)
-        take = zc < best_z
+        # same smaller-id tie-break as _vis_kernel (see note there)
+        take = (zc < best_z) | ((zc == best_z) & cov & (tid < best_id))
         sgn = jnp.sign(inv_area)
         # channel order matches _gather_tri_screen: ax,bx,cx, ay,by,cy,
         # (z/iw slots stay zero), nbr0..2, sign
@@ -159,25 +163,46 @@ def _vis_kernel_g(counts_ref, data_ref, ids_ref, out_ref, zout_ref, g_ref, *,
     g_ref[0, 0, 15] = chans[9] * fgf
 
 
-def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
-                        corner=False, edge_nbrs=None):
-    """One view: bin + pre-gather candidate screen data.
+def _tile_range(lo, hi, tile_px, ntiles_axis):
+    """Inclusive tile-index range [t0, t1] whose pixel-center span
+    [t*tile_px - 0.5, (t+1)*tile_px - 0.5] intersects the bbox [lo, hi]
+    (pixel-center coordinates) — the same ±0.5-slack predicate as
+    _bbox_tile_overlap. Empty when t1 < t0 after clamping."""
+    t0 = jnp.ceil((lo + 0.5) / tile_px - 1.0).astype(jnp.int32)
+    t1 = jnp.floor((hi + 0.5) / tile_px).astype(jnp.int32)
+    empty = (t1 < 0) | (t0 > ntiles_axis - 1)
+    return (jnp.clip(t0, 0, ntiles_axis - 1),
+            jnp.clip(t1, 0, ntiles_axis - 1), empty)
 
-    Returns (counts (ntiles,) i32, data (ntiles,12,K) f32,
-    ids (ntiles,1,K) i32 — triangle id + 1).
 
-    Structure matters: one (F+1,12) per-triangle table built with F-sized
-    ops, then a single (ntiles*K)-row gather — per-element gathers and a
-    stable full-width sort made this prep 20x the kernel's cost.
+def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
+                  med_cap: int = 2048, pool_cap: int = 64):
+    """Output-proportional tile binning for one view.
+
+    Returns (counts (ntiles,) i32, cand (ntiles,k) i32 triangle indices,
+    F = padding). Work scales with the number of actual (triangle, tile)
+    overlap pairs, not F x ntiles: each triangle expands to a static
+    handful of (tile, id) pairs, one flat unstable sort groups them by
+    tile, and searchsorted recovers per-tile offsets. Tiers bound the
+    expansion with static shapes:
+
+      tier 0 — spans <= 2x2 tiles (the vast majority): 4 slots/triangle;
+      tier 1 — spans <= 8x4 tiles: up to ``med_cap`` triangles get 32
+               slots each;
+      tier 2 — larger spans + tier-1 overflow: up to ``pool_cap`` ids
+               walked by EVERY tile (correct, just unbinned).
+
+    Candidate lists are NOT id-ordered — the visibility kernels tie-break
+    equal depths by smaller id, so order cannot change the output. Tiles
+    whose candidate count exceeds ``k`` drop an arbitrary subset; size
+    caps with tile_overlap_counts/validate_tile_capacity when changing
+    scenes (the trainer does this at startup).
     """
     H, W = resolution
     F = tri.shape[0]
-    sx, sy, sz, v_ok = _screen(pos)
-
-    # overlap in (F, ntiles) layout: the tile axis (multiple of 128) rides
-    # the lanes — the (ntiles, F) orientation costs ~30 ms/8 views on a v5e
-    # purely from unaligned-lane layouts
+    sx, sy, _, v_ok = _screen(pos)
     nty, ntx = H // tile_h, W // tile_w
+    ntiles = nty * ntx
     if corner:
         vx = sx.reshape(F, 3)
         vy = sy.reshape(F, 3)
@@ -188,25 +213,98 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
         ok = v_ok[tri].all(axis=1)
     px = (vx + 1.0) * 0.5 * W - 0.5
     py = (vy + 1.0) * 0.5 * H - 0.5
-    xmin, xmax = px.min(axis=1), px.max(axis=1)
-    ymin, ymax = py.min(axis=1), py.max(axis=1)
-    tx = jnp.arange(ntx, dtype=pos.dtype)
-    ty = jnp.arange(nty, dtype=pos.dtype)
-    ox = (xmax[:, None] >= tx[None] * tile_w - 0.5) \
-        & (xmin[:, None] <= (tx[None] + 1) * tile_w - 0.5)      # (F,ntx)
-    oy = (ymax[:, None] >= ty[None] * tile_h - 0.5) \
-        & (ymin[:, None] <= (ty[None] + 1) * tile_h - 0.5)      # (F,nty)
-    ovT = (oy[:, :, None] & ox[:, None, :] & ok[:, None, None]) \
-        .reshape(F, nty * ntx)                                   # (F,ntiles)
+    tx0, tx1, ex = _tile_range(px.min(axis=1), px.max(axis=1), tile_w, ntx)
+    ty0, ty1, ey = _tile_range(py.min(axis=1), py.max(axis=1), tile_h, nty)
+    ok = ok & ~ex & ~ey
+    spanx = tx1 - tx0 + 1
+    spany = ty1 - ty0 + 1
 
-    counts = jnp.minimum(jnp.sum(ovT, axis=0), k).astype(jnp.int32)
-    candT = jnp.where(ovT, jnp.arange(F, dtype=jnp.int32)[:, None],
-                      jnp.int32(F))
-    candT = jax.lax.sort(candT, dimension=0, is_stable=False)[:min(k, F)]
-    cand = candT.T                                               # (ntiles,k')
-    if cand.shape[1] < k:
-        cand = jnp.pad(cand, ((0, 0), (0, k - cand.shape[1])),
-                       constant_values=F)
+    iota_f = jnp.arange(F, dtype=jnp.int32)
+    MY, MX = 8, 4                       # tier-1 span bounds (tiles)
+    med_cap = min(med_cap, F)
+    pool_cap = min(pool_cap, F)
+    small = ok & (spanx <= 2) & (spany <= 2)
+    medium = ok & ~small & (spanx <= MX) & (spany <= MY)
+    big = ok & ~small & ~medium
+
+    def expand(t0y, t0x, s_y, s_x, sel, SY, SX):
+        """(T, SY*SX) pair keys for the selected triangles (T = len(sel))."""
+        dy = jnp.arange(SY * SX, dtype=jnp.int32) // SX
+        dx = jnp.arange(SY * SX, dtype=jnp.int32) % SX
+        tyv = t0y[:, None] + dy[None]
+        txv = t0x[:, None] + dx[None]
+        valid = sel[:, None] & (dy[None] < s_y[:, None]) \
+            & (dx[None] < s_x[:, None])
+        return jnp.where(valid, tyv * ntx + txv, ntiles)
+
+    # tier 0: every triangle, 4 slots
+    keys0 = expand(ty0, tx0, spany, spanx, small, 2, 2)          # (F,4)
+    vals0 = jnp.broadcast_to(iota_f[:, None], (F, 4))
+
+    # tier 1: compact medium ids first (1-D sort of F keys), expand 32 slots
+    med_sorted = jax.lax.sort(jnp.where(medium, iota_f, F),
+                              is_stable=False)
+    med_ids = med_sorted[:med_cap]                               # (M,)
+    med_safe = jnp.minimum(med_ids, F - 1)
+    keys1 = expand(ty0[med_safe], tx0[med_safe], spany[med_safe],
+                   spanx[med_safe], med_ids < F, MY, MX)         # (M,32)
+    vals1 = jnp.broadcast_to(med_ids[:, None], (med_cap, MY * MX))
+
+    keys = jnp.concatenate([keys0.reshape(-1), keys1.reshape(-1)])
+    vals = jnp.concatenate([vals0.reshape(-1), vals1.reshape(-1)])
+    keys_s, vals_s = jax.lax.sort((keys, vals), is_stable=False, num_keys=1)
+    starts = jnp.searchsorted(keys_s, jnp.arange(ntiles + 1,
+                                                 dtype=jnp.int32))
+    tile_counts = (starts[1:] - starts[:-1]).astype(jnp.int32)   # (ntiles,)
+
+    # tier 2: big triangles + tier-1 overflow, walked by every tile
+    n_med = jnp.sum(medium.astype(jnp.int32))
+    pool = jnp.concatenate([jnp.where(big, iota_f, F),
+                            med_sorted[med_cap:med_cap + pool_cap]])
+    pool = jax.lax.sort(pool, is_stable=False)[:pool_cap]        # (P,)
+    n_pool = jnp.minimum(
+        jnp.sum(big.astype(jnp.int32))
+        + jnp.clip(n_med - med_cap, 0, pool_cap), pool_cap)
+
+    counts = jnp.minimum(n_pool + tile_counts, k).astype(jnp.int32)
+
+    j = jnp.arange(k, dtype=jnp.int32)[None, :]                  # (1,k)
+    js = j - n_pool
+    idx = jnp.clip(starts[:-1, None] + js, 0, keys.shape[0] - 1)
+    small_vals = vals_s[idx.reshape(-1)].reshape(ntiles, k)
+    pool_vals = pool[jnp.minimum(j, pool_cap - 1)]               # (1,k)
+    cand = jnp.where(j < n_pool, pool_vals,
+                     jnp.where((js >= 0) & (js < tile_counts[:, None]),
+                               small_vals, F))
+    return counts, cand
+
+
+def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
+                        corner=False, edge_nbrs=None):
+    """One view: bin + pre-gather candidate screen data.
+
+    Returns (counts (ntiles,) i32, data (ntiles,12,K) f32,
+    ids (ntiles,1,K) i32 — triangle id + 1).
+
+    Structure matters: bin_triangles keeps the binning cost proportional
+    to actual (triangle, tile) overlap pairs (the round-1 (F, ntiles)
+    overlap matrix + full-width sort was 20x the kernel's cost), then ONE
+    (F+1,12) per-triangle table built with F-sized ops feeds a single
+    (ntiles*K)-row gather.
+    """
+    H, W = resolution
+    F = tri.shape[0]
+    sx, sy, sz, v_ok = _screen(pos)
+    counts, cand = bin_triangles(pos, tri, resolution, tile_h, tile_w, k,
+                                 corner=corner)
+    if corner:
+        vx = sx.reshape(F, 3)
+        vy = sy.reshape(F, 3)
+        ok = v_ok.reshape(F, 3).all(axis=1)
+    else:
+        vx = sx[tri]
+        vy = sy[tri]
+        ok = v_ok[tri].all(axis=1)
 
     # per-triangle screen table (F+1,12); row F = invalid dummy
     if corner:

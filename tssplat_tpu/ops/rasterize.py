@@ -175,6 +175,26 @@ def tile_overlap_counts(pos_clip, tri, resolution, tile_h=8, tile_w=128):
     return max(counts)
 
 
+def validate_tile_capacity(pos_clip, tri, resolution, tile_h=8, tile_w=128,
+                           margin: float = 2.0) -> int:
+    """Measure the actual per-tile overlap of a scene and return a safe
+    static capacity ``k``: max(default heuristic, next_pow2(margin x
+    measured)).
+
+    Tiles whose candidate count exceeds ``k`` silently drop triangles
+    (wrong silhouette gradients, no error) — nvdiffrast never drops
+    primitives (reference renderers/mesh_rasterizer.py:103-104), so the
+    trainer runs this on the real scene at startup and after every remesh
+    instead of trusting the uniform-density heuristic. ``margin`` covers
+    deformation between validations."""
+    H, W = resolution
+    F = tri.shape[0]
+    need = tile_overlap_counts(pos_clip, tri, resolution, tile_h, tile_w)
+    k = max(default_tile_capacity(F, resolution, tile_h, tile_w),
+            _next_pow2(int(need * margin)))
+    return min(k, _next_pow2(F))
+
+
 def _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w):
     """(ntiles, F) bool: triangle bbox (pixel-center coords) intersects tile."""
     vx = sx[tri]                                        # (F,3) NDC
@@ -472,7 +492,8 @@ def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
 def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
               resolution: Tuple[int, int], chunk: int = 64,
               ids: Optional[jnp.ndarray] = None,
-              method: str = "auto", corner: bool = False) -> jnp.ndarray:
+              method: str = "auto", corner: bool = False,
+              k: Optional[int] = None) -> jnp.ndarray:
     """Full rasterization: (B,H,W,4) = (u, v, z/w, id+1).
 
     ``ids`` may be supplied by an external visibility kernel; otherwise the
@@ -481,7 +502,8 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     "auto" (tiled when the resolution is tile-aligned and the mesh is big
     enough to benefit). Differentiable w.r.t. pos_clip through (u, v, z/w)
     for fixed visibility, like nvdiffrast with grad_db=False (reference
-    renderers/mesh_rasterizer.py:103-104).
+    renderers/mesh_rasterizer.py:103-104). ``k`` overrides the per-tile
+    capacity heuristic of the binned paths (see validate_tile_capacity).
     """
     if ids is None:
         H, W = resolution
@@ -492,9 +514,9 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                                   and on_tpu):
             from .pallas_raster import rasterize_ids_pallas
             ids = rasterize_ids_pallas(pos_clip, tri, resolution,
-                                       corner=corner)
+                                       corner=corner, k=k)
         elif method == "tiled" or (method == "auto" and aligned and big):
-            ids = rasterize_ids_tiled(pos_clip, tri, resolution)
+            ids = rasterize_ids_tiled(pos_clip, tri, resolution, k=k)
         else:
             ids = rasterize_ids(pos_clip, tri, resolution, chunk)
     return _shade_rast(pos_clip, tri, ids, resolution, corner=corner)
@@ -503,7 +525,8 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                          resolution: Tuple[int, int],
                          method: str = "auto",
-                         corner: bool = False) -> jnp.ndarray:
+                         corner: bool = False,
+                         k: Optional[int] = None) -> jnp.ndarray:
     """Silhouette-only rasterization: (B,H,W,4) with u=v=0 and
     non-differentiable (z, id) channels.
 
@@ -520,17 +543,19 @@ def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     if method == "pallas" or (method == "auto" and aligned and big and on_tpu):
         from .pallas_raster import rasterize_ids_pallas
         ids, z = rasterize_ids_pallas(pos_clip, tri, resolution, with_z=True,
-                                      corner=corner)
+                                      corner=corner, k=k)
         zero = jnp.zeros_like(z)
         return jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
-    rast = rasterize(pos_clip, tri, resolution, method=method, corner=corner)
+    rast = rasterize(pos_clip, tri, resolution, method=method, corner=corner,
+                     k=k)
     rast = jax.lax.stop_gradient(rast)
     return rast.at[..., 0:2].set(0.0)
 
 
 def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
                                    method: str = "auto",
-                                   corner: bool = False):
+                                   corner: bool = False,
+                                   k: Optional[int] = None):
     """Silhouette rasterization + the winner's differentiable AA rows.
 
     On the Pallas path the kernel emits the per-pixel winner rows directly
@@ -546,14 +571,14 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
         from .pallas_raster import rasterize_ids_pallas
         ids, z, g_kernel = rasterize_ids_pallas(pos_clip, tri, resolution,
                                                 corner=corner,
-                                                with_g=edge_nbrs)
+                                                with_g=edge_nbrs, k=k)
         zero = jnp.zeros_like(z)
         rast = jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
         g = winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel,
                                corner)
         return rast, g
     return rasterize_silhouette(pos_clip, tri, resolution, method=method,
-                                corner=corner), None
+                                corner=corner, k=k), None
 
 
 def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray,
