@@ -153,6 +153,52 @@ def test_textured_obj_export(tmp_path):
     assert img.size == (128, 128)
 
 
+def test_progressive_encoding_progresses_in_pipeline():
+    """render_views threads the iteration into the material apply, so a
+    ProgressiveBandHashGrid unlocks levels over training (reference
+    models/networks.py:109-148 update_step semantics). Regression for the
+    round-1 gap where the step never reached the encoding."""
+    from tssplat_tpu.mesh.spheres import tet_sphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+    from tssplat_tpu.geometry.tet_geometry import TetMeshGeometry
+    from tssplat_tpu.materials import ExplicitMaterial
+    from tssplat_tpu.render.pipeline import render_views
+    from tssplat_tpu.ops.transform import fibonacci_views
+
+    v, t = tet_sphere(0.1, radius=0.3)
+    geo = TetMeshGeometry(dict(use_smooth_barrier=False),
+                          tetmesh=TetMesh(v, t))
+    mat = ExplicitMaterial({"pos_encoding_config": {
+        "otype": "ProgressiveBandHashGrid", "n_levels": 6,
+        "n_features_per_level": 2, "log2_hashmap_size": 10,
+        "base_resolution": 4, "per_level_scale": 1.6,
+        "start_level": 2, "start_step": 0, "update_steps": 10}})
+    mvp, _, campos = fibonacci_views(2)
+    bg = jnp.ones((2, 32, 32, 3), jnp.float32)
+
+    def shade(it):
+        out = render_views(geo.tet_v, geo.statics,
+                           jnp.asarray(mvp, jnp.float32), it, 32,
+                           only_alpha=False, material_fn=mat.apply_fn,
+                           material_params=mat.params, background=bg)
+        return np.asarray(out.shaded)
+
+    s0, s0b, s40 = shade(0), shade(5), shade(40)
+    # same masked levels within an update window -> identical output
+    np.testing.assert_allclose(s0, s0b, rtol=0, atol=0)
+    # more levels unlocked by iter 40 -> the output must change
+    assert float(np.max(np.abs(s40 - s0))) > 1e-6
+
+    # direct encoding check: masked tail levels are exactly zero at step 0
+    enc = mat.encoding
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (32, 3)),
+                    jnp.float32)
+    f0 = np.asarray(enc.apply_fn(mat.params["encoding"], x, 0))
+    f40 = np.asarray(enc.apply_fn(mat.params["encoding"], x, 40))
+    assert np.all(f0[:, 2 * 2:] == 0.0)          # levels >= start_level masked
+    assert np.any(f40[:, 2 * 2:] != 0.0)         # unlocked by step 40
+
+
 def test_texture_stage_writes_textured_obj(tex_root):
     """The texture-stage trainer ends with a baked-texture OBJ
     (reference trainer.py:187-189)."""

@@ -12,7 +12,12 @@ import numpy as np
 
 
 def export_textured_obj(geometry, material, path: str, folder: str,
-                        texture_res: int = 1024) -> None:
+                        texture_res: int = 1024,
+                        step: int = 1 << 30) -> None:
+    """``step`` is the training iteration the bake should reflect —
+    progressive encodings mask levels by step; the default (a huge step)
+    bakes with every level unlocked, matching end-of-training state for
+    the shipped schedules."""
     import jax.numpy as jnp
     from ..ops.rasterize import rasterize, interpolate
     from ..mesh.io import save_obj, save_mtl
@@ -37,7 +42,7 @@ def export_textured_obj(geometry, material, path: str, folder: str,
     corner_pos = v_pos[faces.reshape(-1)]                  # (3F,3)
     gb_pos = interpolate(jnp.asarray(corner_pos, jnp.float32), rast, tri_uv)[0]
 
-    color = np.asarray(material.apply_fn(material.params, gb_pos))
+    color = np.asarray(material.apply_fn(material.params, gb_pos, step))
     mask = np.asarray(rast[0, ..., 3] > 0)
 
     img = np.clip(color * 255.0, 0, 255).astype(np.uint8)

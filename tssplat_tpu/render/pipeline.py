@@ -51,12 +51,15 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
                  is_ortho: bool = False,
                  normal_flip_z: bool = True,
                  chunk: int = 64,
-                 rast_ids: Optional[jax.Array] = None) -> RenderOutput:
+                 rast_ids: Optional[jax.Array] = None,
+                 tile_k: Optional[int] = None) -> RenderOutput:
     """Render a batch of views of the current geometry.
 
     mvp (B,4,4); background (B,H,W,3) or broadcastable; campos (B,3).
     ``rast_ids`` lets an external visibility kernel (Pallas) supply the
-    per-pixel winning triangles.
+    per-pixel winning triangles. ``tile_k`` overrides the binned
+    rasterizer's per-tile capacity (trainer validates it on the real scene
+    at startup — see validate_tile_capacity).
     """
     fwd = geometry_forward(tet_v, geom, it)
     tri = fwd.t_pos_idx
@@ -78,10 +81,10 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
         # differentiable barycentric shading entirely; on TPU the kernel
         # also emits the winner's AA rows (no forward row gather)
         rast, g_rows = rasterize_silhouette_with_rows(
-            pos_clip, tri_c, res, geom.edge_nbrs, corner=True)
+            pos_clip, tri_c, res, geom.edge_nbrs, corner=True, k=tile_k)
     else:
         rast = rasterize(pos_clip, tri_c, res, chunk=chunk, ids=rast_ids,
-                         corner=True)
+                         corner=True, k=tile_k)
 
     # silhouette: coverage channel is (tri_id + 1), clamp to [0,1] then AA —
     # the sole source of coverage gradients (reference :106-108)
@@ -95,7 +98,9 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
             raise ValueError("color path needs material_fn and background")
         mask = (rast[..., 3:4] > 0).astype(pos_clip.dtype)
         positions = interpolate(v_corner, rast, tri_c, corner=True)
-        color = material_fn(material_params, positions)     # (B,H,W,3)
+        # thread the iteration so progressive encodings actually progress
+        # (reference models/networks.py update_step semantics)
+        color = material_fn(material_params, positions, it)  # (B,H,W,3)
         gb = background + (color - background) * mask       # lerp by mask
         shaded = antialias(gb, rast, pos_clip, tri_c, geom.edge_nbrs,
                            corner=True)
