@@ -80,3 +80,39 @@ def test_sharded_train_matches_single_device(dataset8):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(s_dp.params),
                                np.asarray(s_sd.params), atol=2e-6)
+
+
+@pytest.fixture(scope="module")
+def dataset16(tmp_path_factory):
+    from tssplat_tpu.mesh.spheres import icosphere
+    from tssplat_tpu.tools.synthetic import write_synthetic_dataset
+    root = tmp_path_factory.mktemp("dpc")
+    v, f = icosphere(2)
+    write_synthetic_dataset(os.path.join(str(root), "img"),
+                            v * np.asarray([0.3, 0.25, 0.2]), f,
+                            n_views=16, resolution=64)
+    with open(os.path.join(str(root), "kp.json"), "w") as fh:
+        json.dump({"pt": [[0.0, 0.0, 0.0]], "r": [0.24]}, fh)
+    return root
+
+
+def test_sharded_chunked_train_matches_full_batch(dataset16):
+    """view_chunk composed WITH data-parallel sharding (host pre-chunking,
+    chunk axis sharded over devices) must reproduce the unsharded,
+    unchunked training numerically — the round-1 guard simply disabled
+    chunking under sharding, exactly the pod config that matters."""
+    from tssplat_tpu.train import train
+    iters = 4
+    # 16 views in 2 chunks of 8, each chunk sharded over 8 devices
+    cfg = _train_cfg(dataset16, 16, iters, True)
+    cfg["view_chunk"] = 8
+    s_chunk, _ = train(cfg)
+
+    cfg2 = _train_cfg(dataset16, 16, iters, False)
+    cfg2["view_chunk"] = 0
+    s_ref, _ = train(cfg2)
+
+    np.testing.assert_allclose(float(s_chunk.best_loss),
+                               float(s_ref.best_loss), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_chunk.params),
+                               np.asarray(s_ref.params), atol=2e-6)

@@ -46,15 +46,39 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_spec_for(batch: dict, mesh: Mesh) -> dict:
+def chunked_view_sharding(mesh: Mesh) -> NamedSharding:
+    """(n_chunks, chunk, …) layout: chunk axis split over the view axis.
+
+    Host-side pre-chunking + axis-1 sharding lets view microbatching
+    compose with data parallelism — a scan over axis 0 slices a fully
+    device-resident chunk each step, with NO per-step resharding (an in-jit
+    reshape of a view-sharded (B, …) axis would all-to-all the whole batch
+    every iteration). View order inside the batch is irrelevant: every loss
+    is a mean over views."""
+    return NamedSharding(mesh, P(None, VIEW_AXIS))
+
+
+def batch_spec_for(batch: dict, mesh: Mesh, view_chunk: int = 0) -> dict:
     """Sharding pytree for a loader batch: view-sharded arrays, everything
-    else replicated."""
-    vs = view_sharding(mesh)
+    else replicated. ``view_chunk`` > 0 means the view arrays are
+    pre-chunked to (n_chunks, view_chunk, …) and shard on axis 1."""
+    vs = chunked_view_sharding(mesh) if view_chunk else view_sharding(mesh)
     rs = replicated_sharding(mesh)
     return {k: (vs if k in _VIEW_KEYS else rs) for k in batch}
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch onto the mesh with view sharding."""
-    spec = batch_spec_for(batch, mesh)
-    return {k: jax.device_put(v, spec[k]) for k, v in batch.items()}
+def shard_batch(batch: dict, mesh: Mesh, view_chunk: int = 0) -> dict:
+    """Place a host batch onto the mesh with view sharding.
+
+    ``view_chunk`` > 0 additionally reshapes each view array (B, …) to
+    (B // view_chunk, view_chunk, …) so the train step's microbatch scan
+    runs over device-resident chunks (see chunked_view_sharding).
+    Requires B % view_chunk == 0 and view_chunk % n_devices == 0."""
+    spec = batch_spec_for(batch, mesh, view_chunk)
+    out = {}
+    for k, v in batch.items():
+        if view_chunk and k in _VIEW_KEYS:
+            v = np.asarray(v)
+            v = v.reshape(v.shape[0] // view_chunk, view_chunk, *v.shape[1:])
+        out[k] = jax.device_put(v, spec[k])
+    return out

@@ -55,7 +55,7 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
                     resolution: int, fit_depth: bool, is_ortho: bool,
                     fit_normal: bool = False, normal_weight: float = 10.0,
                     material_fn=None, tet_v_frozen=None,
-                    view_chunk: int = 0,
+                    view_chunk: int = 0, tile_k: Optional[int] = None,
                     batch_sharding=None, replicated_sharding=None):
     """Build the jitted train step. Static choices (stage, depth on/off,
     resolution) bake into the compiled program; iteration number is traced.
@@ -75,7 +75,7 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             only_alpha=only_alpha, material_fn=material_fn,
             material_params=mat_params, background=batch["background"],
             campos=batch["campos"], fit_depth=fit_depth,
-            fit_normal=fit_normal, is_ortho=is_ortho)
+            fit_normal=fit_normal, is_ortho=is_ortho, tile_k=tile_k)
 
         color_ref = batch["img"]
         if only_alpha:
@@ -106,17 +106,26 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
         else:
             tet_v, mat_params = tet_v_frozen, params
 
+        # pre-chunked batches (mvp (n_chunks, chunk, 4, 4)) come from
+        # shard_batch(view_chunk=…): the chunk axis is device-sharded and a
+        # scan over axis 0 runs without per-step resharding (an in-jit
+        # reshape of a view-sharded axis would all-to-all the batch)
+        pre_chunked = batch["mvp"].ndim == 4
         B = batch["mvp"].shape[0]
         chunkable = (view_chunk and B % view_chunk == 0 and B > view_chunk
-                     and batch_sharding is None)  # chunked scan over a
-        # view-sharded batch axis would reshard every step — unsupported
-        if chunkable:
-            n_chunks = B // view_chunk
+                     and batch_sharding is None and not pre_chunked)
+        if chunkable or pre_chunked:
+            if pre_chunked:
+                n_chunks = B
+                chunked = {k: batch[k] for k in _VIEW_KEYS if k in batch}
+            else:
+                n_chunks = B // view_chunk
 
-            def reshape(v):
-                return v.reshape(n_chunks, view_chunk, *v.shape[1:])
+                def reshape(v):
+                    return v.reshape(n_chunks, view_chunk, *v.shape[1:])
 
-            chunked = {k: reshape(batch[k]) for k in _VIEW_KEYS if k in batch}
+                chunked = {k: reshape(batch[k])
+                           for k in _VIEW_KEYS if k in batch}
 
             @jax.checkpoint
             def one_chunk(carry, cb):
@@ -146,9 +155,11 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
         params = apply_updates(state.params, updates)
 
         better = loss < state.best_loss
+        # reference convention: the snapshot is taken AFTER optimizer.step()
+        # of the best-loss iteration (reference trainer.py:132-140 stores
+        # tet_v post-update)
         best_params = jax.tree_util.tree_map(
-            lambda b, c: jnp.where(better, c, b), state.best_params,
-            state.params)
+            lambda b, c: jnp.where(better, c, b), state.best_params, params)
         new_state = TrainState(
             params=params, opt_state=opt_state,
             best_loss=jnp.where(better, loss, state.best_loss),
@@ -157,16 +168,67 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
         return new_state, (loss, img_loss, reg)
 
     if batch_sharding is not None:
-        batch_spec = {k: (batch_sharding if k in
-                          ("mvp", "mv", "campos", "img", "background", "n", "d")
-                          else None)
-                      for k in ("mvp", "mv", "campos", "img", "background",
-                                "n", "d")}
+        if view_chunk:
+            # pre-chunked (n_chunks, chunk, …) layout, chunk axis sharded
+            from jax.sharding import NamedSharding, PartitionSpec
+            batch_sharding = NamedSharding(
+                batch_sharding.mesh,
+                PartitionSpec(None, *batch_sharding.spec))
+        batch_spec = {k: (batch_sharding if k in _VIEW_KEYS else None)
+                      for k in _VIEW_KEYS}
         return jax.jit(step, in_shardings=(replicated_sharding, batch_spec,
                                            None),
                        out_shardings=(replicated_sharding, None),
                        donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))
+
+
+def _auto_view_chunk(B: int, n_dev: int, resolution: int) -> int:
+    """Default view-microbatch size: ~8 views per device at 512^2, scaling
+    with 1/resolution^2 (the per-view winner-row buffers are ~64 B/pixel —
+    at the reference's 120-view batch (config/gso.yaml:30) the unchunked
+    step materializes ~2.5 GB and regresses 3x per view). Returns 0 when
+    the whole batch already fits the target."""
+    per_dev = max(1, (8 * 512 * 512) // max(resolution * resolution, 1))
+    target = per_dev * n_dev
+    if B <= target:
+        return 0
+    for c in range(target, n_dev - 1, -1):
+        if B % c == 0 and c % n_dev == 0:
+            return c if c < B else 0
+    return 0
+
+
+def _validated_tile_k(geometry, dataloader, resolution: int,
+                      is_ortho: bool) -> Optional[int]:
+    """Measure the real scene's per-tile triangle overlap across a batch of
+    dataset views and pick a safe binned-rasterizer capacity.
+
+    The density heuristic can under-provision a concentrated mesh, and
+    overflowing tiles silently drop triangles (wrong silhouette gradients —
+    nvdiffrast never drops, reference renderers/mesh_rasterizer.py:103-104).
+    Runs at trainer startup and after every remesh; the 2x margin covers
+    deformation in between. Returns None when the binned path can't run at
+    this resolution."""
+    if resolution % 128 or resolution % 8:
+        return None
+    from .ops.rasterize import (validate_tile_capacity,
+                                default_tile_capacity)
+    from .ops.transform import transform_pos
+    batch = dataloader(0, 0)
+    mvp = jnp.asarray(batch["mvp"], jnp.float32)
+    v_corner = geometry.tet_v[geometry.statics.corner_vid]
+    pos_clip = transform_pos(mvp, v_corner, is_ortho=is_ortho)
+    F = int(geometry.statics.surface_fid.shape[0])
+    tri_c = jnp.arange(3 * F, dtype=jnp.int32).reshape(F, 3)
+    res = (int(resolution), int(resolution))
+    k = validate_tile_capacity(pos_clip, tri_c, res)
+    k_default = default_tile_capacity(F, res)
+    if k > k_default:
+        print(f"tile capacity raised {k_default} -> {k} (measured overlap "
+              f"exceeds the density heuristic; capacity overflow would drop "
+              f"triangles)", flush=True)
+    return int(k)
 
 
 def train(cfg):
@@ -265,6 +327,29 @@ def train(cfg):
         print(f"data-parallel over {n_dev} devices (batch {batch_size})")
 
     steps = {}
+    # validate the binned rasterizer's per-tile capacity on the real scene
+    # (the heuristic can under-provision concentrated meshes; overflow
+    # silently drops triangles)
+    tile_k = _validated_tile_k(geometry, dataloader, resolution, is_ortho)
+
+    # view microbatching: "auto" (default) picks a chunk at large batch;
+    # composes with data parallelism via host pre-chunking (the chunk axis
+    # shards across devices, the scan runs over device-resident chunks)
+    vc_cfg = cfg.get("view_chunk", "auto")
+    n_shard = n_dev if mesh is not None else 1
+    if vc_cfg == "auto":
+        view_chunk = _auto_view_chunk(batch_size, n_shard, resolution)
+    else:
+        view_chunk = int(vc_cfg)
+    if view_chunk and not (batch_size % view_chunk == 0
+                           and batch_size > view_chunk
+                           and view_chunk % n_shard == 0):
+        print(f"view_chunk={view_chunk} incompatible with batch "
+              f"{batch_size} over {n_shard} devices — disabled", flush=True)
+        view_chunk = 0
+    if view_chunk:
+        print(f"view microbatching: {batch_size // view_chunk} chunks of "
+              f"{view_chunk} views", flush=True)
 
     def get_step(fit_depth_on: bool):
         if fit_depth_on not in steps:
@@ -277,7 +362,8 @@ def train(cfg):
                 resolution=resolution, fit_depth=fit_depth_on,
                 fit_normal=bool(cfg.get("fit_normal", False)),
                 normal_weight=float(cfg.get("fit_normal_weight", 10.0)),
-                view_chunk=int(cfg.get("view_chunk", 0)),
+                view_chunk=view_chunk,
+                tile_k=tile_k,
                 is_ortho=is_ortho, material_fn=material_fn,
                 tet_v_frozen=geometry.tet_v, **kw)
         return steps[fit_depth_on]
@@ -309,6 +395,8 @@ def train(cfg):
                                best_iter=jnp.zeros((), jnp.int32),
                                best_params=copy(params))
             steps.clear()
+            tile_k = _validated_tile_k(geometry, dataloader, resolution,
+                                       is_ortho)
             print(f"remeshed at iter {it}: {geometry.tetmesh.num_vertices} "
                   f"verts / {geometry.tetmesh.num_tets} tets", flush=True)
 
@@ -328,7 +416,7 @@ def train(cfg):
                      if k not in ("resolution", "spp")}
             if mesh is not None:
                 from .parallel import shard_batch
-                batch = shard_batch(batch, mesh)
+                batch = shard_batch(batch, mesh, view_chunk=view_chunk)
             state, (loss, img_loss, reg) = step_fn(state, batch, it)
             n_steps += 1
             meter.update(1, rays_per_forward)
@@ -367,7 +455,8 @@ def train(cfg):
         from .materials.export import export_textured_obj
         material.params = state.params
         export_textured_obj(geometry, material,
-                            os.path.join(out_path, "final"), "material")
+                            os.path.join(out_path, "final"), "material",
+                            step=total_iters)
     return state, geometry
 
 
