@@ -203,3 +203,87 @@ def test_compute_G_matrix_matches_deformation_gradients(rng):
     F_gather = deformation_gradients(xj, jnp.asarray(t), jnp.asarray(dX_inv, jnp.float32))
     np.testing.assert_allclose(np.asarray(F_dense), np.asarray(F_gather),
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Operator-level parity (VERDICT r1 #1): the oracle above shares the repo's
+# construction (rest_matrices / tet_neighbors). The assembly below is built
+# from scratch — shape-function gradients via per-tet barycentric 4x4
+# solves, face adjacency via a face dictionary — and the comparison is
+# ENTRYWISE on the implied operator (the smooth energy is quadratic, so its
+# Hessian IS c1 * G^T L^T L G), not just its action on one state.
+# ---------------------------------------------------------------------------
+
+def _independent_GTLTLG(verts, tets, weighting="uniform"):
+    """float64 G^T L^T L G assembled with no shared code with the package:
+    F = sum_i x_i (grad phi_i)^T with grad phi from inverting the affine
+    vandermonde [x y z 1] per tet; L = D - A over face-adjacent tets."""
+    V = np.asarray(verts, np.float64)
+    E = np.asarray(tets)
+    T, N = len(E), len(V)
+    G = np.zeros((T, 9, 3 * N))
+    vols = np.zeros(T)
+    for t, tet in enumerate(E):
+        P = np.concatenate([V[tet], np.ones((4, 1))], axis=1)   # (4,4)
+        C = np.linalg.inv(P)                                    # phi coeffs
+        gphi = C[:3, :]                                         # (3,4)
+        vols[t] = abs(np.linalg.det(P)) / 6.0
+        for i in range(4):
+            for r in range(3):
+                for c in range(3):
+                    # F[r,c] = sum_i x[tet[i], r] * gphi[c, i]
+                    G[t, 3 * r + c, 3 * tet[i] + r] += gphi[c, i]
+
+    faces = {}
+    for t, tet in enumerate(E):
+        for f in ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)):
+            key = tuple(sorted(int(tet[j]) for j in f))
+            faces.setdefault(key, []).append(t)
+    A = np.zeros((T, T))
+    for ts in faces.values():
+        assert len(ts) <= 2
+        if len(ts) == 2:
+            A[ts[0], ts[1]] = A[ts[1], ts[0]] = 1.0
+    L = np.diag(A.sum(1)) - A
+    if weighting == "volume":
+        L = np.diag(vols / vols.mean()) @ L
+
+    Gf = G.reshape(T, 9, 3 * N)
+    LG = np.einsum("tm,mrc->trc", L, Gf).reshape(9 * T, 3 * N)
+    return LG.T @ LG
+
+
+def _hessian_of_smooth(ops, n, weighting_note=""):
+    x0 = jnp.zeros((3 * n,), jnp.float32)
+
+    def e(xf):
+        return smooth_barrier_energy(xf.reshape(n, 3), ops, 1.0, 0.0, 2)
+
+    H = jax.hessian(e)(x0)
+    return np.asarray(H, np.float64)
+
+
+@pytest.mark.parametrize("weighting", ["uniform", "volume"])
+def test_operator_entrywise_parity_independent_assembly(weighting):
+    """Hessian of the smooth energy == independently assembled G^T L^T L G,
+    entry by entry (reference operator contract: tet_spheres.cpp:148 +
+    cusparse SpMV quadratic form, tet_spheres_cuda.cu:118-263)."""
+    verts, tets = tet_sphere(0.9, radius=1.0)
+    mesh = TetMesh(verts, tets)
+    ops = build_energy_ops(mesh, laplacian_weighting=weighting)
+    n = mesh.num_vertices
+    H = _hessian_of_smooth(ops, n)
+    M = _independent_GTLTLG(mesh.vtx_init, mesh.elem, weighting)
+    scale = np.abs(M).max()
+    np.testing.assert_allclose(H / scale, M / scale, atol=2e-5)
+
+
+def test_operator_nullspace_is_exactly_affine():
+    """ker(G^T L^T L G) is exactly the 12-dim affine motions on a connected
+    tet mesh: L F = 0 <=> F constant <=> x affine. Pins the operator's
+    structure independent of any weighting convention."""
+    verts, tets = tet_sphere(0.9, radius=1.0)
+    M = _independent_GTLTLG(verts, tets)
+    w = np.linalg.eigvalsh(M)
+    assert np.all(np.abs(w[:12]) < 1e-10 * w[-1])      # 12 exact null modes
+    assert w[12] > 1e8 * np.abs(w[:12]).max()          # then a hard gap

@@ -159,6 +159,11 @@ class SmoothBarrierParam:
     smooth_eng_coeff: float = 2e-4
     barrier_coeff: float = 2e-4
     increase_order_iter: int = 1000
+    # "uniform" = combinatorial tet-graph Laplacian (the convention implied
+    # by the reference's pgo_create_tet_biharmonic_gradient_matrix(mesh,1,0)
+    # call, tet_spheres.cpp:148 — see PARITY.md); "volume" = FEM-style
+    # volume row-weighting
+    laplacian_weighting: str = "uniform"
 
 
 @GEOMETRIES.register("TetMeshGeometry")
@@ -192,7 +197,9 @@ class TetMeshGeometry:
         sb = parse_structured(SmoothBarrierParam,
                               self.cfg.smooth_barrier_param or {})
         self._smooth_coeff_scale = getattr(self, "_smooth_coeff_scale", 1.0)
-        energy = build_energy_ops(mesh) if self.cfg.use_smooth_barrier else None
+        energy = build_energy_ops(
+            mesh, laplacian_weighting=sb.laplacian_weighting) \
+            if self.cfg.use_smooth_barrier else None
         self.statics = GeometryStatics(
             surface_vid=jnp.asarray(mesh.surface_vid, jnp.int32),
             surface_fid=jnp.asarray(mesh.surface_fid, jnp.int32),

@@ -34,7 +34,7 @@ non-inverted tets.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,14 +49,27 @@ class EnergyOps(NamedTuple):
     nbr_mask: jax.Array      # (T,4) f32 — 1 for real neighbor, 0 for pad
     degree: jax.Array        # (T,) f32 — number of real neighbors
     num_vertices: int        # static
+    row_w: Optional[jax.Array] = None  # (T,) f32 — Laplacian row weights
+    # (None = uniform combinatorial; "volume" sets vol_t / mean(vol))
 
 
-def build_energy_ops(tetmesh, dtype=jnp.float32) -> EnergyOps:
+def build_energy_ops(tetmesh, dtype=jnp.float32,
+                     laplacian_weighting: str = "uniform") -> EnergyOps:
     """Precompute operator data from a TetMesh (host-side, once per mesh).
 
     Mirrors the one-time operator build of the reference's TetSpheres state
     (tssplat_ext/tet_spheres/tet_spheres.cpp:140-203) but produces regular
     gather tables instead of COO matrices.
+
+    ``laplacian_weighting``: "uniform" (default) is the combinatorial
+    tet-graph Laplacian — the face-neighbor/no-scale convention implied by
+    the reference's `pgo_create_tet_biharmonic_gradient_matrix(mesh, 1, 0)`
+    call (tet_spheres.cpp:148; see PARITY.md for the operator analysis).
+    "volume" row-scales L by vol_t / mean(vol) — the FEM-style alternative,
+    selectable from `smooth_barrier_param` if libpgo's convention turns out
+    volume-weighted. On the near-uniform BCC/TetWild tets this workload
+    optimizes, the two differ by a bounded diagonal scaling largely
+    absorbed by smooth_eng_coeff.
     """
     from ..mesh.tetmesh import tet_rest_matrices
     from ..mesh.surface import tet_face_neighbors
@@ -68,6 +81,13 @@ def build_energy_ops(tetmesh, dtype=jnp.float32) -> EnergyOps:
     if np.any(vol <= 0):
         raise ValueError("rest mesh contains inverted/degenerate tets")
 
+    row_w = None
+    if laplacian_weighting == "volume":
+        row_w = jnp.asarray(vol / vol.mean(), dtype=dtype)
+    elif laplacian_weighting != "uniform":
+        raise ValueError(f"unknown laplacian_weighting "
+                         f"{laplacian_weighting!r}")
+
     T = tetmesh.elem.shape[0]
     mask = (nbrs >= 0).astype(np.float32)
     safe_nbrs = np.where(nbrs >= 0, nbrs, np.arange(T)[:, None])
@@ -78,6 +98,7 @@ def build_energy_ops(tetmesh, dtype=jnp.float32) -> EnergyOps:
         nbr_mask=jnp.asarray(mask, dtype=dtype),
         degree=jnp.asarray(degree, dtype=dtype),
         num_vertices=int(tetmesh.vtx_init.shape[0]),
+        row_w=row_w,
     )
 
 
@@ -105,10 +126,14 @@ def _det3(F: jax.Array) -> jax.Array:
 
 
 def laplacian_F(F: jax.Array, ops: EnergyOps) -> jax.Array:
-    """Tet-graph Laplacian applied blockwise to the F field: (LF)_t."""
+    """Tet-graph Laplacian applied blockwise to the F field: (LF)_t,
+    row-scaled by ops.row_w when a non-uniform weighting is configured."""
     Fn = F[ops.nbrs]                                       # (T,4,3,3)
     neigh_sum = jnp.sum(ops.nbr_mask[:, :, None, None] * Fn, axis=1)
-    return ops.degree[:, None, None] * F - neigh_sum
+    LF = ops.degree[:, None, None] * F - neigh_sum
+    if ops.row_w is not None:
+        LF = ops.row_w[:, None, None] * LF
+    return LF
 
 
 def smooth_barrier_energy(x: jax.Array, ops: EnergyOps, c1: jax.Array,
