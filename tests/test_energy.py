@@ -259,7 +259,9 @@ def _hessian_of_smooth(ops, n, weighting_note=""):
     def e(xf):
         return smooth_barrier_energy(xf.reshape(n, 3), ops, 1.0, 0.0, 2)
 
-    H = jax.hessian(e)(x0)
+    # jacrev over grad (reverse-over-reverse): the energy's custom VJP has
+    # no forward-mode rule, so jax.hessian (jacfwd∘jacrev) is unavailable
+    H = jax.jacrev(jax.grad(e))(x0)
     return np.asarray(H, np.float64)
 
 
@@ -287,3 +289,32 @@ def test_operator_nullspace_is_exactly_affine():
     w = np.linalg.eigvalsh(M)
     assert np.all(np.abs(w[:12]) < 1e-10 * w[-1])      # 12 exact null modes
     assert w[12] > 1e8 * np.abs(w[:12]).max()          # then a hard gap
+
+
+@pytest.mark.parametrize("weighting", ["uniform", "volume"])
+@pytest.mark.parametrize("order", [2, 4])
+def test_custom_vjp_matches_autodiff(weighting, order, rng):
+    """The all-gather custom VJP (_sb_bwd) must equal plain autodiff of the
+    reference implementation — including gradients w.r.t. c1/c2 and on
+    states with inverted tets (cofactor barrier branch)."""
+    from tssplat_tpu.ops.energy import smooth_barrier_energy_ref
+    mesh = make_mesh()
+    ops = build_energy_ops(mesh, laplacian_weighting=weighting)
+    x_np = mesh.vtx_init + rng.normal(scale=0.2, size=mesh.vtx_init.shape)
+    x = jnp.asarray(x_np, jnp.float32)
+
+    def e_custom(xx, c1, c2):
+        return smooth_barrier_energy(xx, ops, c1, c2, order)
+
+    def e_auto(xx, c1, c2):
+        return smooth_barrier_energy_ref(xx, ops, c1, c2, order)
+
+    args = (x, jnp.float32(0.7), jnp.float32(1.3))
+    v1, g1 = jax.value_and_grad(e_custom, argnums=(0, 1, 2))(*args)
+    v2, g2 = jax.value_and_grad(e_auto, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    scale = max(float(jnp.abs(g2[0]).max()), 1e-8)
+    np.testing.assert_allclose(np.asarray(g1[0]) / scale,
+                               np.asarray(g2[0]) / scale, atol=5e-5)
+    for a, b in zip(g1[1:], g2[1:]):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)

@@ -51,6 +51,10 @@ class EnergyOps(NamedTuple):
     num_vertices: int        # static
     row_w: Optional[jax.Array] = None  # (T,) f32 — Laplacian row weights
     # (None = uniform combinatorial; "volume" sets vol_t / mean(vol))
+    inc_idx: Optional[jax.Array] = None  # (n,D) int32 — per-vertex rows
+    # into the flattened (4T+1,·) per-(tet,corner) table; 4T = zero pad
+    # row. Lets the energy backward gather vertex gradients instead of
+    # scatter-adding them (TPU scatters serialize)
 
 
 def build_energy_ops(tetmesh, dtype=jnp.float32,
@@ -91,14 +95,30 @@ def build_energy_ops(tetmesh, dtype=jnp.float32,
     T = tetmesh.elem.shape[0]
     mask = (nbrs >= 0).astype(np.float32)
     safe_nbrs = np.where(nbrs >= 0, nbrs, np.arange(T)[:, None])
+
+    # per-vertex incidence table: vertex v's (tet, corner) pairs as flat
+    # rows tet*4 + corner, padded with the dummy row 4T — the backward pass
+    # gathers per-vertex gradient contributions instead of scatter-adding
+    n = int(tetmesh.vtx_init.shape[0])
+    flat_v = np.asarray(tetmesh.elem, np.int64).reshape(-1)      # (4T,)
+    counts = np.bincount(flat_v, minlength=n)
+    D = int(counts.max())
+    order_srt = np.argsort(flat_v, kind="stable")
+    sorted_v = flat_v[order_srt]
+    starts = np.cumsum(counts) - counts
+    rank = np.arange(4 * T) - starts[sorted_v]
+    inc_idx = np.full((n, D), 4 * T, np.int32)
+    inc_idx[sorted_v, rank] = order_srt
+
     return EnergyOps(
         tets=jnp.asarray(tetmesh.elem, dtype=jnp.int32),
         dX_inv=jnp.asarray(dX_inv, dtype=dtype),
         nbrs=jnp.asarray(safe_nbrs, dtype=jnp.int32),
         nbr_mask=jnp.asarray(mask, dtype=dtype),
         degree=jnp.asarray(degree, dtype=dtype),
-        num_vertices=int(tetmesh.vtx_init.shape[0]),
+        num_vertices=n,
         row_w=row_w,
+        inc_idx=jnp.asarray(inc_idx),
     )
 
 
@@ -125,15 +145,118 @@ def _det3(F: jax.Array) -> jax.Array:
             + F[..., 0, 2] * (F[..., 1, 0] * F[..., 2, 1] - F[..., 1, 1] * F[..., 2, 0]))
 
 
+def _unweighted_lap(F: jax.Array, nbrs, nbr_mask, degree) -> jax.Array:
+    """Combinatorial tet-graph Laplacian applied blockwise: (UF)_t.
+    U = D - A is symmetric (face adjacency), which the backward exploits."""
+    Fn = F[nbrs]                                           # (T,4,3,3)
+    neigh_sum = jnp.sum(nbr_mask[:, :, None, None] * Fn, axis=1)
+    return degree[:, None, None] * F - neigh_sum
+
+
 def laplacian_F(F: jax.Array, ops: EnergyOps) -> jax.Array:
     """Tet-graph Laplacian applied blockwise to the F field: (LF)_t,
     row-scaled by ops.row_w when a non-uniform weighting is configured."""
-    Fn = F[ops.nbrs]                                       # (T,4,3,3)
-    neigh_sum = jnp.sum(ops.nbr_mask[:, :, None, None] * Fn, axis=1)
-    LF = ops.degree[:, None, None] * F - neigh_sum
+    LF = _unweighted_lap(F, ops.nbrs, ops.nbr_mask, ops.degree)
     if ops.row_w is not None:
         LF = ops.row_w[:, None, None] * LF
     return LF
+
+
+def _cof3(F: jax.Array) -> jax.Array:
+    """Cofactor matrix of a 3x3: d det(F) / dF (the CUDA backward's
+    closed form, tet_spheres_cuda.cu:68-102)."""
+    c = jnp.stack
+    row0 = c([F[..., 1, 1] * F[..., 2, 2] - F[..., 1, 2] * F[..., 2, 1],
+              F[..., 1, 2] * F[..., 2, 0] - F[..., 1, 0] * F[..., 2, 2],
+              F[..., 1, 0] * F[..., 2, 1] - F[..., 1, 1] * F[..., 2, 0]],
+             axis=-1)
+    row1 = c([F[..., 0, 2] * F[..., 2, 1] - F[..., 0, 1] * F[..., 2, 2],
+              F[..., 0, 0] * F[..., 2, 2] - F[..., 0, 2] * F[..., 2, 0],
+              F[..., 0, 1] * F[..., 2, 0] - F[..., 0, 0] * F[..., 2, 1]],
+             axis=-1)
+    row2 = c([F[..., 0, 1] * F[..., 1, 2] - F[..., 0, 2] * F[..., 1, 1],
+              F[..., 0, 2] * F[..., 1, 0] - F[..., 0, 0] * F[..., 1, 2],
+              F[..., 0, 0] * F[..., 1, 1] - F[..., 0, 1] * F[..., 1, 0]],
+             axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def _energy_parts(x, order, tets, dX_inv, nbrs, nbr_mask, degree, row_w):
+    F = deformation_gradients(x, tets, dX_inv)
+    UF = _unweighted_lap(F, nbrs, nbr_mask, degree)
+    WUF = row_w[:, None, None] * UF if row_w is not None else UF
+    e_smooth = 0.5 * jnp.sum(WUF * WUF)
+    J = _det3(F)
+    neg = jnp.maximum(-J, 0.0)
+    p2 = neg * neg
+    e_barrier = jnp.sum(jnp.where(order == 4, p2 * p2, p2))
+    return F, UF, e_smooth, e_barrier
+
+
+@jax.custom_vjp
+def _sb_energy(x, c1, c2, order, tets, dX_inv, nbrs, nbr_mask, degree,
+               row_w, inc_idx):
+    _, _, es, eb = _energy_parts(x, order, tets, dX_inv, nbrs, nbr_mask,
+                                 degree, row_w)
+    return c1 * es + c2 * eb
+
+
+def _sb_fwd(x, c1, c2, order, tets, dX_inv, nbrs, nbr_mask, degree, row_w,
+            inc_idx):
+    F, UF, es, eb = _energy_parts(x, order, tets, dX_inv, nbrs, nbr_mask,
+                                  degree, row_w)
+    res = (x, F, UF, es, eb, c1, c2, order, tets, dX_inv, nbrs, nbr_mask,
+           degree, row_w, inc_idx)
+    return c1 * es + c2 * eb, res
+
+
+def _sb_bwd(res, g):
+    """All-gather backward — no scatter anywhere.
+
+    Autodiff would transpose the F[nbrs] gather into a (T,4,3,3)
+    scatter-add and the x[tets] gather into another; TPU scatters
+    serialize. Instead: U is symmetric, so dE_s/dF = U(W^2 (UF)) is the
+    same forward-style 4-neighbor gather; the barrier term is the
+    closed-form cofactor (identical inverted-tet-only semantics as the
+    CUDA backward, tet_spheres_cuda.cu:68-102); and the final
+    tet-corner -> vertex fold is a flat row gather over the precomputed
+    per-vertex incidence table (ops.inc_idx).
+
+    Operator tables (dX_inv, masks, degree, row_w) get zero cotangents —
+    they are rest-state constants, not optimization variables.
+    """
+    (x, F, UF, es, eb, c1, c2, order, tets, dX_inv, nbrs, nbr_mask,
+     degree, row_w, inc_idx) = res
+    w2UF = (row_w[:, None, None] ** 2) * UF if row_w is not None else UF
+    dF = c1 * _unweighted_lap(w2UF, nbrs, nbr_mask, degree)
+
+    J = _det3(F)
+    neg = jnp.maximum(-J, 0.0)
+    coeff = jnp.where(order == 4, 4.0 * neg * neg * neg, 2.0 * neg)
+    dF = dF - (c2 * coeff)[:, None, None] * _cof3(F)
+
+    # chain dF -> d(dx) (VPU broadcast-sum, never MXU):
+    # dE/ddx[t,i,k] = sum_j dF[t,i,j] * dX_inv[t,k,j]
+    P = jnp.sum(dF[:, :, None, :] * dX_inv[:, None, :, :], axis=3)
+    # corner contributions: dx[:, :, k] = x[tets[k+1]] - x[tets[0]]
+    contrib = jnp.concatenate([-jnp.sum(P, axis=2, keepdims=True), P],
+                              axis=2)                     # (T,3,4)
+    T = P.shape[0]
+    flat = contrib.transpose(0, 2, 1).reshape(4 * T, 3)   # row = t*4+corner
+    flat = jnp.concatenate([flat, jnp.zeros((1, 3), flat.dtype)], axis=0)
+    n, D = inc_idx.shape
+    gx = flat[inc_idx.reshape(-1)].reshape(n, D, 3).sum(axis=1)
+
+    def f0(a):
+        return np.zeros(np.shape(a), jax.dtypes.float0)
+
+    return (g * gx, g * es, g * eb, f0(order), f0(tets),
+            jnp.zeros_like(dX_inv), f0(nbrs), jnp.zeros_like(nbr_mask),
+            jnp.zeros_like(degree),
+            None if row_w is None else jnp.zeros_like(row_w), f0(inc_idx))
+
+
+_sb_energy.defvjp(_sb_fwd, _sb_bwd)
 
 
 def smooth_barrier_energy(x: jax.Array, ops: EnergyOps, c1: jax.Array,
@@ -143,7 +266,27 @@ def smooth_barrier_energy(x: jax.Array, ops: EnergyOps, c1: jax.Array,
     ``order`` may be a traced int (2 or 4); both powers are formed and
     selected so the jitted step never recompiles on the order switch
     (reference switches Python-side, energies/smooth_barrier.py:60-63).
+
+    With ops.inc_idx present (build_energy_ops always provides it) the
+    gradient comes from a hand-written all-gather VJP (_sb_bwd) —
+    numerically identical to autodiff (tests/test_energy.py) but with no
+    scatters. Hand-built EnergyOps without inc_idx fall back to autodiff.
+    Forward-mode AD is unsupported through the custom path (use
+    smooth_barrier_energy_ref or jacrev composition).
     """
+    if ops.inc_idx is None:
+        return smooth_barrier_energy_ref(x, ops, c1, c2, order)
+    dt = x.dtype
+    return _sb_energy(x, jnp.asarray(c1, dt), jnp.asarray(c2, dt), order,
+                      ops.tets, ops.dX_inv, ops.nbrs, ops.nbr_mask,
+                      ops.degree, ops.row_w, ops.inc_idx)
+
+
+def smooth_barrier_energy_ref(x: jax.Array, ops: EnergyOps, c1, c2,
+                              order) -> jax.Array:
+    """Plain-autodiff reference implementation (same math, scatter-based
+    backward; supports forward-mode). Kept for tests and as the numeric
+    oracle for the custom VJP."""
     F = deformation_gradients(x, ops.tets, ops.dX_inv)
     LF = laplacian_F(F, ops)
     e_smooth = 0.5 * jnp.sum(LF * LF)
