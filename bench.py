@@ -65,8 +65,20 @@ def main():
     init_fn, update_fn = adam_uniform(
         cosine_annealing_lr(0.2, 1500), grad_limit=True,
         grad_limit_values=(0.01, 0.01), grad_limit_iters=(1500,))
+    # view microbatching at reference-scale batches, exactly like the
+    # trainer's default ("auto": ~8 views/device at 512^2)
+    vc_env = os.environ.get("BENCH_VIEW_CHUNK", "auto")
+    if vc_env == "auto":
+        from tssplat_tpu.train import _auto_view_chunk
+        view_chunk = _auto_view_chunk(n_views, 1, res)
+    else:
+        view_chunk = int(vc_env)
+    if view_chunk:
+        import sys
+        print(f"view_chunk={view_chunk}", file=sys.stderr, flush=True)
     step = make_train_step(geo.statics, update_fn, fitting_stage="geometry",
-                           resolution=res, fit_depth=False, is_ortho=False)
+                           resolution=res, fit_depth=False, is_ortho=False,
+                           view_chunk=view_chunk)
 
     params = jnp.array(geo.tet_v)
     state = TrainState(params=params, opt_state=init_fn(params),

@@ -33,9 +33,13 @@ from .rasterize import (_screen, _bbox_tile_overlap, _next_pow2,
 
 _INF = float("inf")
 
+# SMEM budget for the shared per-triangle table (v5e compiles ~512 KB of
+# SMEM blocks; leave headroom for the candidate-id blocks + prefetch)
+_SMEM_TBL_BUDGET = 384 * 1024
+
 
 def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
-                tile_w, ntx, H, W):
+                tile_w, ntx, H, W, shared_tbl=False):
     b = pl.program_id(0)
     t = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -53,18 +57,24 @@ def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
 
     def body(i, carry):
         best_z, best_id = carry
-        ax = data_ref[0, 0, 0, i]
-        ay = data_ref[0, 0, 1, i]
-        bx = data_ref[0, 0, 2, i]
-        by = data_ref[0, 0, 3, i]
-        cx = data_ref[0, 0, 4, i]
-        cy = data_ref[0, 0, 5, i]
-        z0 = data_ref[0, 0, 6, i]
-        z1 = data_ref[0, 0, 7, i]
-        z2 = data_ref[0, 0, 8, i]
-        inv_area = data_ref[0, 0, 9, i]
-        valid = data_ref[0, 0, 10, i]
         tid = ids_ref[0, 0, 0, i]
+        if shared_tbl:
+            # whole per-triangle table lives in SMEM, shared by every tile
+            # of the view — no per-tile pre-gather (row = tid - 1)
+            rd = lambda ch: data_ref[0, ch, tid - 1]     # noqa: E731
+        else:
+            rd = lambda ch: data_ref[0, 0, ch, i]        # noqa: E731
+        ax = rd(0)
+        ay = rd(1)
+        bx = rd(2)
+        by = rd(3)
+        cx = rd(4)
+        cy = rd(5)
+        z0 = rd(6)
+        z1 = rd(7)
+        z2 = rd(8)
+        inv_area = rd(9)
+        valid = rd(10)
 
         e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
         e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
@@ -88,7 +98,7 @@ def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
 
 
 def _vis_kernel_g(counts_ref, data_ref, ids_ref, out_ref, zout_ref, g_ref, *,
-                  tile_h, tile_w, ntx, H, W):
+                  tile_h, tile_w, ntx, H, W, shared_tbl=False):
     """Visibility + winner-row emission: carries the winning candidate's
     screen data (xy, edge-neighbor ids, orientation) through the depth loop
     and writes it per pixel in _gather_tri_screen's 16-channel layout —
@@ -111,21 +121,25 @@ def _vis_kernel_g(counts_ref, data_ref, ids_ref, out_ref, zout_ref, g_ref, *,
 
     def body(i, carry):
         best_z, best_id, chans = carry
-        ax = data_ref[0, 0, 0, i]
-        ay = data_ref[0, 0, 1, i]
-        bx = data_ref[0, 0, 2, i]
-        by = data_ref[0, 0, 3, i]
-        cx = data_ref[0, 0, 4, i]
-        cy = data_ref[0, 0, 5, i]
-        z0 = data_ref[0, 0, 6, i]
-        z1 = data_ref[0, 0, 7, i]
-        z2 = data_ref[0, 0, 8, i]
-        inv_area = data_ref[0, 0, 9, i]
-        valid = data_ref[0, 0, 10, i]
-        n0 = data_ref[0, 0, 12, i]
-        n1 = data_ref[0, 0, 13, i]
-        n2 = data_ref[0, 0, 14, i]
         tid = ids_ref[0, 0, 0, i]
+        if shared_tbl:
+            rd = lambda ch: data_ref[0, ch, tid - 1]     # noqa: E731
+        else:
+            rd = lambda ch: data_ref[0, 0, ch, i]        # noqa: E731
+        ax = rd(0)
+        ay = rd(1)
+        bx = rd(2)
+        by = rd(3)
+        cx = rd(4)
+        cy = rd(5)
+        z0 = rd(6)
+        z1 = rd(7)
+        z2 = rd(8)
+        inv_area = rd(9)
+        valid = rd(10)
+        n0 = rd(12)
+        n1 = rd(13)
+        n2 = rd(14)
 
         e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
         e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
@@ -176,7 +190,7 @@ def _tile_range(lo, hi, tile_px, ntiles_axis):
 
 
 def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
-                  med_cap: int = 2048, pool_cap: int = 64):
+                  med_cap: int = 256, pool_cap: int = 64):
     """Output-proportional tile binning for one view.
 
     Returns (counts (ntiles,) i32, cand (ntiles,k) i32 triangle indices,
@@ -252,9 +266,19 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
 
     keys = jnp.concatenate([keys0.reshape(-1), keys1.reshape(-1)])
     vals = jnp.concatenate([vals0.reshape(-1), vals1.reshape(-1)])
-    keys_s, vals_s = jax.lax.sort((keys, vals), is_stable=False, num_keys=1)
-    starts = jnp.searchsorted(keys_s, jnp.arange(ntiles + 1,
-                                                 dtype=jnp.int32))
+    if (ntiles + 1) * (F + 1) < 2 ** 31:
+        # pack (tile, id) into one int32 — a single-operand sort is ~2x a
+        # two-operand sort on TPU, and tile starts fall out of searchsorted
+        # on the packed code directly
+        code = jax.lax.sort(keys * (F + 1) + vals, is_stable=False)
+        starts = jnp.searchsorted(
+            code, jnp.arange(ntiles + 1, dtype=jnp.int32) * (F + 1))
+        vals_s = code % (F + 1)
+    else:
+        keys_s, vals_s = jax.lax.sort((keys, vals), is_stable=False,
+                                      num_keys=1)
+        starts = jnp.searchsorted(keys_s, jnp.arange(ntiles + 1,
+                                                     dtype=jnp.int32))
     tile_counts = (starts[1:] - starts[:-1]).astype(jnp.int32)   # (ntiles,)
 
     # tier 2: big triangles + tier-1 overflow, walked by every tile
@@ -280,17 +304,21 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
 
 
 def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
-                        corner=False, edge_nbrs=None):
-    """One view: bin + pre-gather candidate screen data.
+                        corner=False, edge_nbrs=None, shared=False):
+    """One view: bin + candidate screen data.
 
-    Returns (counts (ntiles,) i32, data (ntiles,12,K) f32,
-    ids (ntiles,1,K) i32 — triangle id + 1).
+    ``shared=False``: returns (counts (ntiles,) i32, data (ntiles,R,K) f32
+    pre-gathered per tile, ids (ntiles,1,K) i32 — triangle id + 1).
+    ``shared=True``: returns (counts, tbl (R,F+1) f32 — ONE per-triangle
+    table the kernel holds in SMEM and indexes by candidate id directly,
+    ids) — no per-tile gather at all (the pre-gather duplicates each
+    triangle row into every overlapped tile's K-slot block; the shared
+    table is F-sized).
 
     Structure matters: bin_triangles keeps the binning cost proportional
     to actual (triangle, tile) overlap pairs (the round-1 (F, ntiles)
-    overlap matrix + full-width sort was 20x the kernel's cost), then ONE
-    (F+1,12) per-triangle table built with F-sized ops feeds a single
-    (ntiles*K)-row gather.
+    overlap matrix + full-width sort was 20x the kernel's cost), and the
+    per-triangle table is built with F-sized ops.
     """
     H, W = resolution
     F = tri.shape[0]
@@ -326,12 +354,17 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
         en = edge_nbrs.astype(pos.dtype)
         cols += [en[:, 0], en[:, 1], en[:, 2], jnp.zeros_like(ax)]
     R = len(cols)
+    ids = (cand + 1)[:, None, :]                         # (ntiles,1,K)
+
+    if shared:
+        tbl = jnp.stack(cols, axis=0)                    # (R,F)
+        tbl = jnp.concatenate([tbl, jnp.zeros((R, 1), tbl.dtype)], axis=1)
+        return counts, tbl, ids
+
     tbl = jnp.stack(cols, axis=-1)
     tbl = jnp.concatenate([tbl, jnp.zeros((1, R), tbl.dtype)], axis=0)
-
     data = tbl[cand.reshape(-1)].reshape(cand.shape[0], k, R) \
         .transpose(0, 2, 1)                              # (ntiles,R,K)
-    ids = (cand + 1)[:, None, :]                         # (ntiles,1,K)
     return counts, data, ids
 
 
@@ -365,10 +398,17 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     R = 12 if with_g is None else 16
 
     pos_clip = jax.lax.stop_gradient(pos_clip)
+    # shared-table mode: the whole (R, F+1) per-triangle table fits SMEM
+    # (fetched once per view — the b-index is constant across the tile
+    # grid axis), and the kernel indexes it by candidate id — skipping the
+    # (B, ntiles, R, K) pre-gather that duplicates each triangle row into
+    # every overlapped tile
+    shared_tbl = (F + 1) * R * 4 <= _SMEM_TBL_BUDGET
     prep = jax.vmap(lambda p: _prepare_candidates(p, tri, resolution,
                                                   tile_h, tile_w, k,
                                                   corner=corner,
-                                                  edge_nbrs=with_g))
+                                                  edge_nbrs=with_g,
+                                                  shared=shared_tbl))
     counts, data, ids = prep(pos_clip)                   # (B,ntiles,…)
 
     out_shapes = [jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
@@ -386,14 +426,22 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                                       lambda b, t, c: (b, t, 0, 0, 0),
                                       memory_space=pltpu.VMEM))
 
+    if shared_tbl:
+        data_spec = pl.BlockSpec((1, R, F + 1), lambda b, t, c: (b, 0, 0),
+                                 memory_space=pltpu.SMEM)
+        data_arg = data                                  # (B,R,F+1)
+    else:
+        data_spec = pl.BlockSpec((1, 1, R, k), lambda b, t, c: (b, t, 0, 0),
+                                 memory_space=pltpu.SMEM)
+        data_arg = data.reshape(B, ntiles, R, k)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, ntiles),
         in_specs=[
             # SMEM: the K-loop reads per-candidate scalars at dynamic
             # offsets, which VMEM vector loads cannot do
-            pl.BlockSpec((1, 1, R, k), lambda b, t, c: (b, t, 0, 0),
-                         memory_space=pltpu.SMEM),
+            data_spec,
             pl.BlockSpec((1, 1, 1, k), lambda b, t, c: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -401,13 +449,13 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     )
     kern = _vis_kernel if with_g is None else _vis_kernel_g
     kernel = functools.partial(kern, tile_h=tile_h, tile_w=tile_w,
-                               ntx=ntx, H=H, W=W)
+                               ntx=ntx, H=H, W=W, shared_tbl=shared_tbl)
     results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(counts.reshape(-1), data.reshape(B, ntiles, R, k), ids)
+    )(counts.reshape(-1), data_arg, ids)
 
     def detile(a):
         return a.reshape(B, nty, ntx, tile_h, tile_w) \

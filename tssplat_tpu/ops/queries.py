@@ -16,10 +16,10 @@ import jax.numpy as jnp
 _EPS = 1e-9
 
 
-def _ray_tri_t(orig, d, v0, e1, e2):
-    """Möller–Trumbore: hit parameter t (inf on miss) for rays (R,3) against
-    one chunk of triangles (C,3,3 edges pre-split). Shapes broadcast
-    (R,1,3) x (1,C,3)."""
+def _ray_tri_tuv(orig, d, v0, e1, e2):
+    """Möller–Trumbore: (t, u, v) per (ray, triangle); t = inf on miss.
+    Rays (R,3) against one chunk of triangles (C,3,3 edges pre-split);
+    shapes broadcast (R,1,3) x (1,C,3)."""
     p = jnp.cross(d[:, None, :], e2[None])               # (R,C,3)
     det = jnp.sum(e1[None] * p, axis=-1)                 # (R,C)
     ok = jnp.abs(det) > _EPS
@@ -30,7 +30,12 @@ def _ray_tri_t(orig, d, v0, e1, e2):
     v = jnp.sum(d[:, None, :] * q, axis=-1) * inv
     t = jnp.sum(e2[None] * q, axis=-1) * inv
     hit = ok & (u >= -_EPS) & (v >= -_EPS) & (u + v <= 1 + _EPS) & (t > _EPS)
-    return jnp.where(hit, t, jnp.inf)
+    return jnp.where(hit, t, jnp.inf), u, v
+
+
+def _ray_tri_t(orig, d, v0, e1, e2):
+    """Hit parameter t (inf on miss); see _ray_tri_tuv."""
+    return _ray_tri_tuv(orig, d, v0, e1, e2)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -58,6 +63,51 @@ def ray_mesh_first_hit(origins: jnp.ndarray, dirs: jnp.ndarray,
               e2.reshape(n_chunks, chunk, 3), valid.reshape(n_chunks, chunk))
     best, _ = jax.lax.scan(body, jnp.full((origins.shape[0],), jnp.inf), chunks)
     return best
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def ray_mesh_hit_full(origins: jnp.ndarray, dirs: jnp.ndarray,
+                      verts: jnp.ndarray, faces: jnp.ndarray,
+                      chunk: int = 512):
+    """First hit with attributes: (t (R,), tri (R,) int32 — -1 on miss,
+    u (R,), v (R,) barycentrics of vertices 1 and 2).
+
+    The independent visibility machine for ground-truth rendering
+    (tools/raytrace.py): shares no code path with the rasterizer under
+    test beyond the vertex arrays.
+    """
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    f = jnp.pad(faces, ((0, pad), (0, 0)))
+    valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
+    tri = verts[f]
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    n_chunks = (F + pad) // chunk
+    base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    def body(carry, c):
+        bt, bid, bu, bv = carry
+        cv0, ce1, ce2, cvld, cbase = c
+        t, u, v = _ray_tri_tuv(origins, dirs, cv0, ce1, ce2)
+        t = jnp.where(cvld[None, :], t, jnp.inf)
+        j = jnp.argmin(t, axis=1)                        # (R,)
+        r = jnp.arange(t.shape[0])
+        tm, um, vm = t[r, j], u[r, j], v[r, j]
+        take = tm < bt
+        return (jnp.where(take, tm, bt),
+                jnp.where(take, cbase + j.astype(jnp.int32), bid),
+                jnp.where(take, um, bu), jnp.where(take, vm, bv)), None
+
+    R = origins.shape[0]
+    init = (jnp.full((R,), jnp.inf), jnp.full((R,), -1, jnp.int32),
+            jnp.zeros((R,)), jnp.zeros((R,)))
+    chunks = (v0.reshape(n_chunks, chunk, 3), e1.reshape(n_chunks, chunk, 3),
+              e2.reshape(n_chunks, chunk, 3), valid.reshape(n_chunks, chunk),
+              base)
+    (t, tid, u, v), _ = jax.lax.scan(body, init, chunks)
+    return t, tid, u, v
 
 
 def _point_tri_closest(p, v0, e1, e2):

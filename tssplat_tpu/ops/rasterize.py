@@ -426,11 +426,60 @@ def _wsr_bwd(corner, res, ct):
     F = tri.shape[0]
     C = ct.shape[-1]
     t = jnp.where(ids > 0, ids - 1, F)
-    bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)))
-    flat = (bidx * (F + 1) + t).reshape(-1)
-    d_tbl = jax.ops.segment_sum(ct.reshape(-1, C), flat,
-                                num_segments=B * (F + 1)) \
-        .reshape(B, F + 1, C)
+    # only the screen-xy channels (0..5) can affect d_pos on this path:
+    # z/iw slots are zero and unused, neighbor ids (12..14) only feed
+    # comparisons, and the orientation channel's (15) cotangent dies in the
+    # table build's stop_gradient
+    CA = min(C, 6)
+    ct6 = ct[..., :CA]
+
+    # AA cotangents live only on silhouette-edge pixels (~0.2% of rows at
+    # 512^2) but the pixel->face scatter-add is row-bound — compact active
+    # 8x8 subtiles first (static cap + dense fallback on overflow), then
+    # segment-sum ~10x fewer rows
+    if ct.ndim == 4 and ct.shape[1] % 8 == 0 and ct.shape[2] % 8 == 0:
+        H, W = ct.shape[1], ct.shape[2]
+        nsy, nsx = H // 8, W // 8
+        ns = nsy * nsx
+        A = min(ns, 512)
+        blk = ct6.reshape(B, nsy, 8, nsx, 8, CA) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(B, ns, 64, CA)
+        tblk = t.reshape(B, nsy, 8, nsx, 8) \
+            .transpose(0, 1, 3, 2, 4).reshape(B, ns, 64)
+        flag = jnp.any(blk != 0.0, axis=(2, 3))          # (B,ns)
+        nact = jnp.sum(flag.astype(jnp.int32), axis=1)   # (B,)
+        sidx = jnp.where(flag, jnp.arange(ns, dtype=jnp.int32)[None, :],
+                         jnp.int32(ns))
+        sidx = jax.lax.sort(sidx, dimension=1, is_stable=False)[:, :A]
+        live = sidx < ns                                 # (B,A)
+        safe = jnp.minimum(sidx, ns - 1)
+        sub_ct = jnp.take_along_axis(blk, safe[:, :, None, None], axis=1)
+        sub_t = jnp.take_along_axis(tblk, safe[:, :, None], axis=1)
+        sub_t = jnp.where(live[:, :, None], sub_t, F)    # dummy row
+        bidx = jnp.arange(B).reshape(B, 1, 1)
+        flat_s = (bidx * (F + 1) + sub_t).reshape(-1)
+
+        def compact(_):
+            return jax.ops.segment_sum(sub_ct.reshape(-1, CA), flat_s,
+                                       num_segments=B * (F + 1))
+
+        def dense(_):
+            bidx2 = jnp.arange(B).reshape(B, 1, 1)
+            flat = (bidx2 * (F + 1) + t).reshape(-1)
+            return jax.ops.segment_sum(ct6.reshape(-1, CA), flat,
+                                       num_segments=B * (F + 1))
+
+        d_act = jax.lax.cond(jnp.any(nact > A), dense, compact,
+                             operand=None).reshape(B, F + 1, CA)
+    else:
+        bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)))
+        flat = (bidx * (F + 1) + t).reshape(-1)
+        d_act = jax.ops.segment_sum(ct6.reshape(-1, CA), flat,
+                                    num_segments=B * (F + 1)) \
+            .reshape(B, F + 1, CA)
+
+    d_tbl = jnp.concatenate(
+        [d_act, jnp.zeros((B, F + 1, C - CA), d_act.dtype)], axis=-1)
     _, vjp = jax.vjp(
         lambda p: _build_screen_table(p, tri, edge_nbrs, corner), pos_clip)
     (d_pos,) = vjp(d_tbl)
