@@ -30,6 +30,7 @@ def main():
     n_views = int(os.environ.get("BENCH_VIEWS", 8))
     res = int(os.environ.get("BENCH_RES", 512))
     iters = int(os.environ.get("BENCH_ITERS", 10))
+    stage = os.environ.get("BENCH_STAGE", "geometry")  # geometry | texture
 
     import jax
     import jax.numpy as jnp
@@ -76,15 +77,27 @@ def main():
     if view_chunk:
         import sys
         print(f"view_chunk={view_chunk}", file=sys.stderr, flush=True)
-    step = make_train_step(geo.statics, update_fn, fitting_stage="geometry",
-                           resolution=res, fit_depth=False, is_ortho=False,
-                           view_chunk=view_chunk)
 
-    params = jnp.array(geo.tet_v)
+    material_fn = None
+    if stage == "texture":
+        # texture stage: geometry frozen, hash-grid + MLP material fitted
+        # against the RGB targets (reference trainer.py:44-48,101-103)
+        from tssplat_tpu.materials import ExplicitMaterial
+        material = ExplicitMaterial({})
+        material_fn = material.apply_fn
+        params = material.params
+        init_fn, update_fn = adam_uniform(
+            cosine_annealing_lr(0.01, 1500))
+    else:
+        params = jnp.array(geo.tet_v)
+    step = make_train_step(geo.statics, update_fn, fitting_stage=stage,
+                           resolution=res, fit_depth=False, is_ortho=False,
+                           view_chunk=view_chunk, material_fn=material_fn,
+                           tet_v_frozen=jnp.array(geo.tet_v))
     state = TrainState(params=params, opt_state=init_fn(params),
                        best_loss=jnp.asarray(jnp.inf, jnp.float32),
                        best_iter=jnp.zeros((), jnp.int32),
-                       best_params=jnp.array(params))
+                       best_params=jax.tree_util.tree_map(jnp.array, params))
 
     # warmup/compile
     state, out = step(state, batch, 0)
@@ -99,12 +112,100 @@ def main():
     ips = iters / dt
     assert np.isfinite(float(out[0]))
     print(json.dumps({
-        "metric": f"geometry_train_iters_per_sec_b{n_views}_r{res}",
+        "metric": f"{stage}_train_iters_per_sec_b{n_views}_r{res}",
         "value": round(ips, 4),
         "unit": "iters/s",
         "vs_baseline": None,
     }))
 
 
+def scaling():
+    """Weak-scaling efficiency harness (SURVEY north star: >=80% at 8
+    chips). Runs the view-sharded train step on 1 device and on all
+    devices with the same per-device view count, and reports
+    it/s(n)/it/s(1). On a CPU host set
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 to exercise the
+    sharded program; the number becomes meaningful the day multi-chip TPU
+    hardware is attached — the harness is identical."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from tssplat_tpu.mesh.spheres import tet_sphere, icosphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+    from tssplat_tpu.geometry.tet_geometry import TetMeshGeometry
+    from tssplat_tpu.ops.transform import fibonacci_views
+    from tssplat_tpu.tools.synthetic import render_views_of_mesh
+    from tssplat_tpu.train import make_train_step, TrainState
+    from tssplat_tpu.optim import adam_uniform, cosine_annealing_lr
+    from tssplat_tpu.parallel import (make_device_mesh, view_sharding,
+                                      replicated_sharding, shard_batch)
+
+    res = int(os.environ.get("BENCH_RES", 256))
+    per_dev = int(os.environ.get("BENCH_VIEWS_PER_DEV", 2))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    n_dev = jax.device_count()
+
+    v, t = tet_sphere(0.05, radius=0.25)
+    geo = TetMeshGeometry(dict(use_smooth_barrier=True),
+                          tetmesh=TetMesh(v, t))
+    sv, sf = icosphere(subdivisions=2)
+    sv = sv * np.asarray([0.30, 0.24, 0.18])
+
+    def run(n_devices):
+        B = per_dev * n_devices
+        mvp, mv, campos = fibonacci_views(B)
+        rgba, depth, _ = render_views_of_mesh(sv, sf, mvp, campos, res)
+        batch = {
+            "mvp": jnp.asarray(mvp, jnp.float32),
+            "mv": jnp.asarray(mv, jnp.float32),
+            "campos": jnp.asarray(campos, jnp.float32),
+            "img": jnp.asarray(rgba, jnp.float32),
+            "background": jnp.ones((B, res, res, 3), jnp.float32),
+            "n": jnp.zeros((B, res, res, 4), jnp.float32),
+            "d": jnp.asarray(depth[..., None], jnp.float32),
+        }
+        init_fn, update_fn = adam_uniform(
+            cosine_annealing_lr(0.2, 1500), grad_limit=True,
+            grad_limit_values=(0.01, 0.01), grad_limit_iters=(1500,))
+        kw = {}
+        if n_devices > 1:
+            mesh = make_device_mesh(n_devices)
+            batch = shard_batch(batch, mesh)
+            kw = dict(batch_sharding=view_sharding(mesh),
+                      replicated_sharding=replicated_sharding(mesh))
+        step = make_train_step(geo.statics, update_fn,
+                               fitting_stage="geometry", resolution=res,
+                               fit_depth=False, is_ortho=False, **kw)
+        params = jnp.array(geo.tet_v)
+        state = TrainState(params=params, opt_state=init_fn(params),
+                           best_loss=jnp.asarray(jnp.inf, jnp.float32),
+                           best_iter=jnp.zeros((), jnp.int32),
+                           best_params=jnp.array(params))
+        if n_devices > 1:
+            from tssplat_tpu.parallel import replicated_sharding as _rs
+            state = jax.device_put(state, _rs(mesh))
+        state, out = step(state, batch, 0)
+        jax.block_until_ready(out[0])
+        t0 = time.perf_counter()
+        for it in range(1, iters + 1):
+            state, out = step(state, batch, it)
+        jax.block_until_ready(out[0])
+        return iters / (time.perf_counter() - t0)
+
+    ips1 = run(1)
+    ipsn = run(n_dev) if n_dev > 1 else ips1
+    eff = ipsn / ips1
+    print(json.dumps({
+        "metric": f"weak_scaling_efficiency_d{n_dev}_r{res}",
+        "value": round(eff, 4),
+        "unit": f"it/s ratio (n-dev B={per_dev * n_dev} vs 1-dev "
+                f"B={per_dev})",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SCALING"):
+        scaling()
+    else:
+        main()

@@ -206,3 +206,52 @@ def test_texture_stage_writes_textured_obj(tex_root):
     final = os.path.join(out, "final", "material")
     assert os.path.exists(os.path.join(final, "mesh.obj"))
     assert os.path.exists(os.path.join(final, "texture_kd.png"))
+
+
+def test_masked_material_eval_matches_dense():
+    """Subtile-compacted material evaluation must equal the dense grid on
+    every masked pixel, including gradients w.r.t. the material params;
+    overflow beyond the cap falls back to dense (exact)."""
+    import jax
+    from tssplat_tpu.render.pipeline import _eval_material_masked
+    from tssplat_tpu.materials import ExplicitMaterial
+
+    mat = ExplicitMaterial({})
+    rng = np.random.default_rng(3)
+    H = W = 64
+    pos = jnp.asarray(rng.uniform(-0.5, 0.5, (2, H, W, 3)), jnp.float32)
+    # a few active subtiles
+    mask = np.zeros((2, H, W, 1), np.float32)
+    mask[0, 8:16, 8:24] = 1.0
+    mask[1, 32:40, 0:8] = 1.0
+    mask = jnp.asarray(mask)
+
+    def run(fn):
+        return fn(mat.params)
+
+    def compact_loss(p):
+        c = _eval_material_masked(mat.apply_fn, p, pos, mask, 0,
+                                  cap_frac=0.25)
+        return jnp.sum((c * mask) ** 2), c
+
+    def dense_loss(p):
+        c = mat.apply_fn(p, pos, 0)
+        return jnp.sum((c * mask) ** 2), c
+
+    (l1, c1), g1 = jax.value_and_grad(compact_loss, has_aux=True)(mat.params)
+    (l2, c2), g2 = jax.value_and_grad(dense_loss, has_aux=True)(mat.params)
+    m = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(c1)[m[..., 0]],
+                               np.asarray(c2)[m[..., 0]], atol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-5)
+
+    # overflow: full-frame mask exceeds the cap -> dense fallback, exact
+    maskf = jnp.ones((2, H, W, 1), jnp.float32)
+    cf = _eval_material_masked(mat.apply_fn, mat.params, pos, maskf, 0,
+                               cap_frac=0.25)
+    cd = mat.apply_fn(mat.params, pos, 0)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cd), atol=1e-6)

@@ -39,6 +39,60 @@ class RenderOutput(NamedTuple):
     depth: Optional[jax.Array] = None
 
 
+def _eval_material_masked(material_fn, params, positions, mask, it,
+                          cap_frac: float = 0.5):
+    """Evaluate the material only on foreground-active 8x8 subtiles.
+
+    The color path's dominant cost is the hash-grid + MLP over every pixel
+    of the (B,H,W) grid — including background (the reference evaluates
+    only foreground pixels via nvdiffrast's masked interpolation,
+    renderers/mesh_rasterizer.py:111-132; a dense TPU grid can't do
+    dynamic shapes, but subtile compaction with a static cap can).
+    Active subtiles are gathered, evaluated, and scattered back through an
+    inverse-permutation gather; if actives exceed the cap the whole grid
+    is evaluated (exact fallback). Gradients flow through the gathers
+    exactly."""
+    B, H, W, _ = positions.shape
+    if H % 8 or W % 8:
+        return material_fn(params, positions, it)
+    ns = (H // 8) * (W // 8)
+    A = max(8, int(ns * cap_frac))
+    if A >= ns:
+        return material_fn(params, positions, it)
+
+    blk = positions.reshape(B, H // 8, 8, W // 8, 8, 3) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(B, ns, 64, 3)
+    mblk = mask.reshape(B, H // 8, 8, W // 8, 8) \
+        .transpose(0, 1, 3, 2, 4).reshape(B, ns, 64)
+    flag = jnp.any(mblk > 0, axis=2)                     # (B,ns)
+    nact = jnp.sum(flag.astype(jnp.int32), axis=1)
+    sidx = jnp.where(flag, jnp.arange(ns, dtype=jnp.int32)[None, :],
+                     jnp.int32(ns))
+    sidx = jax.lax.sort(sidx, dimension=1, is_stable=False)[:, :A]
+    live = sidx < ns
+    safe = jnp.minimum(sidx, ns - 1)
+    sub = jnp.take_along_axis(blk, safe[:, :, None, None], axis=1)
+
+    def compact(_):
+        out_sub = material_fn(params, sub, it)           # (B,A,64,3)
+        Cc = out_sub.shape[-1]
+        out_pad = jnp.concatenate(
+            [out_sub, jnp.zeros((B, 1, 64, Cc), out_sub.dtype)], axis=1)
+        inv = jnp.full((B, ns + 1), A, jnp.int32)
+        bidx = jnp.arange(B)[:, None]
+        inv = inv.at[bidx, jnp.where(live, sidx, ns)].set(
+            jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (B, A)))
+        full = jnp.take_along_axis(
+            out_pad, inv[:, :ns, None, None], axis=1)    # (B,ns,64,Cc)
+        return full.reshape(B, H // 8, W // 8, 8, 8, Cc) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, Cc)
+
+    def dense(_):
+        return material_fn(params, positions, it)
+
+    return jax.lax.cond(jnp.any(nact > A), dense, compact, operand=None)
+
+
 def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
                  it, resolution: int, *,
                  only_alpha: bool = True,
@@ -98,9 +152,11 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
             raise ValueError("color path needs material_fn and background")
         mask = (rast[..., 3:4] > 0).astype(pos_clip.dtype)
         positions = interpolate(v_corner, rast, tri_c, corner=True)
-        # thread the iteration so progressive encodings actually progress
-        # (reference models/networks.py update_step semantics)
-        color = material_fn(material_params, positions, it)  # (B,H,W,3)
+        # iteration threaded so progressive encodings actually progress
+        # (reference models/networks.py update_step semantics); material
+        # evaluated only on foreground-active subtiles
+        color = _eval_material_masked(material_fn, material_params,
+                                      positions, mask, it)  # (B,H,W,3)
         gb = background + (color - background) * mask       # lerp by mask
         shaded = antialias(gb, rast, pos_clip, tri_c, geom.edge_nbrs,
                            corner=True)

@@ -28,13 +28,15 @@ from ..geometry.tet_geometry import compute_vertex_normals
 
 
 def render_views_of_mesh(verts, faces, mvp, campos, resolution: int,
-                         light_dir=(0.3, 0.4, 0.85), base_color=(0.8, 0.8, 0.8)):
+                         light_dir=(0.3, 0.4, 0.85), base_color=(0.8, 0.8, 0.8),
+                         view_chunk: int = 8):
     """Render RGBA + depth + normal images of a fixed surface mesh.
 
     Returns (rgba (B,H,W,4), depth (B,H,W), normal (B,H,W,3)) numpy arrays.
-    Background alpha/depth are 0; colors are Lambertian-shaded. The whole
-    render is one jitted program — op-by-op dispatch over a remote-TPU
-    tunnel costs minutes at 512^2.
+    Background alpha/depth are 0; colors are Lambertian-shaded. Each chunk
+    of ``view_chunk`` views is one jitted program — op-by-op dispatch over
+    a remote-TPU tunnel costs minutes at 512^2, and a 120-view batch of AA
+    intermediates in one jit OOMs a single chip.
     """
     import jax
     import jax.numpy as jnp
@@ -72,8 +74,17 @@ def render_views_of_mesh(verts, faces, mvp, campos, resolution: int,
         rgba = jnp.concatenate([color, alpha], axis=-1)
         return rgba, depth, nrm * (rast[..., 3:4] > 0)
 
-    rgba, depth, nrm = _render(v, mvp, campos)
-    return np.asarray(rgba), np.asarray(depth), np.asarray(nrm)
+    B = mvp.shape[0]
+    vc = min(view_chunk, B) if view_chunk else B
+    outs = []
+    for i in range(0, B - B % vc, vc):
+        outs.append(_render(v, mvp[i:i + vc], campos[i:i + vc]))
+    if B % vc:                                           # ragged tail chunk
+        outs.append(_render(v, mvp[B - B % vc:], campos[B - B % vc:]))
+    rgba = np.concatenate([np.asarray(o[0]) for o in outs])
+    depth = np.concatenate([np.asarray(o[1]) for o in outs])
+    nrm = np.concatenate([np.asarray(o[2]) for o in outs])
+    return rgba, depth, nrm
 
 
 def write_synthetic_dataset(out_dir: str, verts, faces, n_views: int = 120,
