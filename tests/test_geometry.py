@@ -138,7 +138,7 @@ def test_vertex_tangents(sphere_cfg):
     from tssplat_tpu.geometry.tet_geometry import (compute_vertex_normals,
                                                    compute_vertex_tangents)
     geo = TetMeshMultiSphereGeometry(sphere_cfg)
-    uv, uv_faces = geo.tetmesh.uv_atlas()
+    uv, uv_faces, _ = geo.tetmesh.uv_atlas()
     # per-corner UVs: expand surface verts to corners for the tangent calc
     sv = geo.tet_v[geo.statics.surface_vid]
     corner_pos = sv[geo.statics.surface_fid.reshape(-1)]

@@ -140,6 +140,11 @@ class TestTetMesh:
     def test_uv_atlas(self):
         verts, tets = tet_sphere(0.5)
         m = TetMesh(verts, tets)
-        uv, uvf = m.uv_atlas()
-        assert uv.shape == (3 * len(m.surface_fid), 2)
+        uv, uvf, uvv = m.uv_atlas()
+        F = len(m.surface_fid)
+        assert uvf.shape == (F, 3) and uvf.max() < len(uv)
+        assert uvv.shape == (len(uv),) and uvv.max() < len(m.surface_vid)
         assert uv.min() >= 0 and uv.max() <= 1
+        # chart atlas: UV vertices are shared inside charts, so there are
+        # fewer UV vertices than corners (the trivial atlas had 3F)
+        assert len(uv) < 3 * F

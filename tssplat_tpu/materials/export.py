@@ -27,7 +27,7 @@ def export_textured_obj(geometry, material, path: str, folder: str,
 
     v_pos = np.asarray(geometry.tet_v)[np.asarray(geometry.tetmesh.surface_vid)]
     faces = np.asarray(geometry.tetmesh.surface_fid)
-    uv, uv_faces = geometry.tetmesh.uv_atlas()
+    uv, uv_faces, uv_vid = geometry.tetmesh.uv_atlas()
 
     # rasterize the UV layout: uv in [0,1] -> clip coords
     uv_clip = np.concatenate([uv * 2.0 - 1.0,
@@ -37,10 +37,11 @@ def export_textured_obj(geometry, material, path: str, folder: str,
     tri_uv = jnp.asarray(uv_faces, jnp.int32)
     rast = rasterize(pos_clip, tri_uv, (texture_res, texture_res))
 
-    # world position per texel: interpolate with per-UV-vertex world positions
-    # (uv verts are per-corner, so expand world positions to corners)
-    corner_pos = v_pos[faces.reshape(-1)]                  # (3F,3)
-    gb_pos = interpolate(jnp.asarray(corner_pos, jnp.float32), rast, tri_uv)[0]
+    # world position per texel: interpolate with per-UV-vertex world
+    # positions (uv_vid maps each UV vertex to its surface vertex — chart
+    # atlases share UV vertices inside a chart)
+    uvert_pos = v_pos[uv_vid]                              # (U,3)
+    gb_pos = interpolate(jnp.asarray(uvert_pos, jnp.float32), rast, tri_uv)[0]
 
     color = np.asarray(material.apply_fn(material.params, gb_pos, step))
     mask = np.asarray(rast[0, ..., 3] > 0)

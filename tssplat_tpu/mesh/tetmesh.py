@@ -43,9 +43,10 @@ def tet_rest_matrices(verts: np.ndarray, tets: np.ndarray):
 def trivial_uv_atlas(faces: np.ndarray, border: float = 0.002):
     """Per-triangle UV atlas on a square grid (pymeshlab-trivial-style).
 
-    Returns (uv (3F,2) float32, uv_faces (F,3) int64). Each triangle gets an
-    isolated right-triangle cell; adequate for baking per-vertex color to
-    texture on export.
+    Returns (uv (3F,2) float32, uv_faces (F,3) int64, uv_vid (3F,) int64 —
+    mesh vertex of each UV vertex). Each triangle gets an isolated
+    right-triangle cell; fallback for chart_uv_atlas (mesh/uv.py), which
+    matches the reference's xatlas charts.
     """
     F = faces.shape[0]
     n = int(np.ceil(np.sqrt(F)))
@@ -59,7 +60,8 @@ def trivial_uv_atlas(faces: np.ndarray, border: float = 0.002):
     uv[:, 1] = np.stack([cx + b + s, cy + b], axis=1)
     uv[:, 2] = np.stack([cx + b, cy + b + s], axis=1)
     uv_faces = np.arange(3 * F, dtype=np.int64).reshape(F, 3)
-    return uv.reshape(-1, 2).astype(np.float32), uv_faces
+    return (uv.reshape(-1, 2).astype(np.float32), uv_faces,
+            faces.reshape(-1).astype(np.int64))
 
 
 @dataclass
@@ -120,8 +122,18 @@ class TetMesh:
         return self._cache["edge_nbrs"]
 
     def uv_atlas(self):
+        """(uv (U,2) in [0,1], uv_faces (F,3), uv_vid (U,) surface-vertex
+        of each UV vertex). Chart-based LSCM atlas like the reference's
+        xatlas (geometry/tetrahedron_mesh.py:66-68); trivial per-triangle
+        fallback if the chart pipeline fails."""
         if "uv" not in self._cache:
-            self._cache["uv"] = trivial_uv_atlas(self.surface_fid)
+            try:
+                from .uv import chart_uv_atlas
+                uv, uvf, uvv = chart_uv_atlas(self.vtx[self.surface_vid],
+                                              self.surface_fid)
+            except Exception:
+                uv, uvf, uvv = trivial_uv_atlas(self.surface_fid)
+            self._cache["uv"] = (uv, uvf, uvv)
         return self._cache["uv"]
 
     # ---- state + IO --------------------------------------------------------
