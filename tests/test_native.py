@@ -65,3 +65,43 @@ def test_native_speedup_large(mesh):
     t_np = time.perf_counter() - t0
     # generous bound: hash pass should beat sort-based unique comfortably
     assert t_nat < t_np * 2.0, (t_nat, t_np)
+
+
+def test_edge_neighbors_nonmanifold_invariants():
+    """A union of deformed spheres can develop non-manifold edges mid-run;
+    the (F,3) neighbor table can't represent a fan, so native and numpy
+    pairings may legitimately differ there — but BOTH must return, for
+    every slot at the fan edge, another triangle genuinely sharing the
+    edge (never -1, never self), and must agree exactly everywhere else."""
+    import numpy as np
+    from tssplat_tpu.mesh.surface import _triangle_edge_neighbors_np
+    from tssplat_tpu import native
+
+    # three triangles fanning around edge (0,1) + one regular neighbor
+    faces = np.asarray([[0, 1, 2], [1, 0, 3], [0, 1, 4], [1, 2, 5]],
+                       np.int64)
+
+    def check(out):
+        edge_verts = lambda f, e: {faces[f][e], faces[f][(e + 1) % 3]}  # noqa: E731
+        fan = {0, 1, 2}
+        for f in range(4):
+            for e in range(3):
+                nb = out[f, e]
+                if edge_verts(f, e) == {0, 1}:
+                    assert nb >= 0 and nb != f and nb in fan
+                elif edge_verts(f, e) == {1, 2}:
+                    assert {nb, f} == {0, 3}
+                else:
+                    assert nb == -1          # open boundary
+        return True
+
+    out_np = _triangle_edge_neighbors_np(faces)
+    assert check(out_np)
+
+    out_nat = native.triangle_edge_neighbors(faces)
+    if out_nat is not None:                  # native lib built
+        assert check(np.asarray(out_nat))
+        nonfan = [(f, e) for f in range(4) for e in range(3)
+                  if {faces[f][e], faces[f][(e + 1) % 3]} != {0, 1}]
+        for f, e in nonfan:
+            assert out_nat[f, e] == out_np[f, e]

@@ -61,6 +61,19 @@ def triangle_edge_neighbors(faces: np.ndarray) -> np.ndarray:
     nat = native.triangle_edge_neighbors(faces)
     if nat is not None:
         return nat
+    return _triangle_edge_neighbors_np(faces)
+
+
+def _triangle_edge_neighbors_np(faces: np.ndarray) -> np.ndarray:
+    """Pure-numpy edge pairing (lexsort; consecutive incidences pair).
+
+    At a NON-manifold edge (3+ incident triangles) both this and the
+    native hash-table pairing make an arbitrary-but-valid choice of
+    neighbor — the (F,3) table cannot represent a fan, and the AA pass
+    only uses the entry to suppress blending across interior edges. The
+    invariant both uphold (tests/test_native.py): every entry is another
+    triangle genuinely sharing that edge, never -1, never self."""
+    faces = np.asarray(faces, dtype=np.int64)
     F = faces.shape[0]
     e0 = faces[:, [0, 1]]
     e1 = faces[:, [1, 2]]
