@@ -39,6 +39,31 @@ class RenderOutput(NamedTuple):
     depth: Optional[jax.Array] = None
 
 
+def _apply_material_chunked(material_fn, params, positions, it,
+                            chunk: int = 1 << 17):
+    """Evaluate the material over a flat point list in bounded chunks.
+
+    The hash-grid encoding unrolls (levels x corners) elementwise steps;
+    at 512^2 full-grid batches XLA materializes dozens of (B,H,W,1)
+    intermediates whose trailing singleton pads 128x on TPU (1 GB each —
+    the texture step OOM'd at compile). A lax.map over fixed-size point
+    chunks bounds every intermediate to the chunk."""
+    shp = positions.shape
+    flat = positions.reshape(-1, shp[-1])
+    n = flat.shape[0]
+    if n <= chunk:
+        return material_fn(params, flat, it).reshape(*shp[:-1], -1)
+    pad = (-n) % chunk
+    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    parts = flat.reshape(-1, chunk, shp[-1])
+    # rematerialize per chunk: without checkpoint the scan stacks every
+    # chunk's grid intermediates as residuals — the same blowup again
+    f = jax.checkpoint(lambda p: material_fn(params, p, it))
+    out = jax.lax.map(f, parts)
+    out = out.reshape(-1, out.shape[-1])[:n]
+    return out.reshape(*shp[:-1], -1)
+
+
 def _eval_material_masked(material_fn, params, positions, mask, it,
                           cap_frac: float = 0.5):
     """Evaluate the material only on foreground-active 8x8 subtiles.
@@ -54,11 +79,11 @@ def _eval_material_masked(material_fn, params, positions, mask, it,
     exactly."""
     B, H, W, _ = positions.shape
     if H % 8 or W % 8:
-        return material_fn(params, positions, it)
+        return _apply_material_chunked(material_fn, params, positions, it)
     ns = (H // 8) * (W // 8)
     A = max(8, int(ns * cap_frac))
     if A >= ns:
-        return material_fn(params, positions, it)
+        return _apply_material_chunked(material_fn, params, positions, it)
 
     blk = positions.reshape(B, H // 8, 8, W // 8, 8, 3) \
         .transpose(0, 1, 3, 2, 4, 5).reshape(B, ns, 64, 3)
@@ -74,7 +99,8 @@ def _eval_material_masked(material_fn, params, positions, mask, it,
     sub = jnp.take_along_axis(blk, safe[:, :, None, None], axis=1)
 
     def compact(_):
-        out_sub = material_fn(params, sub, it)           # (B,A,64,3)
+        out_sub = _apply_material_chunked(material_fn, params, sub,
+                                          it)            # (B,A,64,3)
         Cc = out_sub.shape[-1]
         out_pad = jnp.concatenate(
             [out_sub, jnp.zeros((B, 1, 64, Cc), out_sub.dtype)], axis=1)
@@ -88,7 +114,7 @@ def _eval_material_masked(material_fn, params, positions, mask, it,
             .transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, Cc)
 
     def dense(_):
-        return material_fn(params, positions, it)
+        return _apply_material_chunked(material_fn, params, positions, it)
 
     return jax.lax.cond(jnp.any(nact > A), dense, compact, operand=None)
 
