@@ -47,7 +47,8 @@ cfg = ConfigDict({
     "smooth_barrier_param": {"smooth_eng_coeff": 2e-4, "barrier_coeff": 2e-4,
                              "increase_order_iter": 500},
     "key_points_file_path": os.path.join(kp, "mario.json"),
-    "load_precomputed_tetwild_mesh": True,
+    "load_precomputed_tetwild_mesh": os.path.exists(
+        os.path.join(root, "cache", "final_tet_v.npy")),
     "tetwild_cache_folder": os.path.join(root, "cache"),
     "output_path": out},
   "dataloader_type": "MistubaImgDataLoader",

@@ -441,7 +441,10 @@ def _wsr_bwd(corner, res, ct):
         H, W = ct.shape[1], ct.shape[2]
         nsy, nsx = H // 8, W // 8
         ns = nsy * nsx
-        A = min(ns, 512)
+        # cap = 1/4 of the subtiles: complex multi-sphere silhouettes (GSO
+        # Mario) activate ~600-900 of 4096 at 512^2 — a 512 cap flipped the
+        # lax.cond to the dense fallback mid-run (10x step regression)
+        A = min(ns, max(1024, ns // 4))
         blk = ct6.reshape(B, nsy, 8, nsx, 8, CA) \
             .transpose(0, 1, 3, 2, 4, 5).reshape(B, ns, 64, CA)
         tblk = t.reshape(B, nsy, 8, nsx, 8) \
