@@ -38,8 +38,8 @@ _INF = float("inf")
 _SMEM_TBL_BUDGET = 384 * 1024
 
 
-def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
-                tile_w, ntx, H, W, shared_tbl=False):
+def _vis_kernel(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
+                *, tile_h, tile_w, ntx, H, W, shared_tbl=False):
     b = pl.program_id(0)
     t = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -50,7 +50,9 @@ def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
         .astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) \
         .astype(jnp.float32)
-    py = ((ty * tile_h).astype(jnp.float32) + row + 0.5) / H * 2.0 - 1.0
+    # row0 offsets slab-local rows to absolute image rows (spatial sharding)
+    py = ((ty * tile_h + row0_ref[0]).astype(jnp.float32) + row + 0.5) \
+        / H * 2.0 - 1.0
     px = ((tx * tile_w).astype(jnp.float32) + col + 0.5) / W * 2.0 - 1.0
 
     count = counts_ref[b * nt + t]
@@ -97,8 +99,8 @@ def _vis_kernel(counts_ref, data_ref, ids_ref, out_ref, zout_ref, *, tile_h,
     zout_ref[0, 0] = jnp.where(best_id > 0, best_z, 0.0)
 
 
-def _vis_kernel_g(counts_ref, data_ref, ids_ref, out_ref, zout_ref, g_ref, *,
-                  tile_h, tile_w, ntx, H, W, shared_tbl=False):
+def _vis_kernel_g(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
+                  g_ref, *, tile_h, tile_w, ntx, H, W, shared_tbl=False):
     """Visibility + winner-row emission: carries the winning candidate's
     screen data (xy, edge-neighbor ids, orientation) through the depth loop
     and writes it per pixel in _gather_tri_screen's 16-channel layout —
@@ -114,7 +116,8 @@ def _vis_kernel_g(counts_ref, data_ref, ids_ref, out_ref, zout_ref, g_ref, *,
         .astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) \
         .astype(jnp.float32)
-    py = ((ty * tile_h).astype(jnp.float32) + row + 0.5) / H * 2.0 - 1.0
+    py = ((ty * tile_h + row0_ref[0]).astype(jnp.float32) + row + 0.5) \
+        / H * 2.0 - 1.0
     px = ((tx * tile_w).astype(jnp.float32) + col + 0.5) / W * 2.0 - 1.0
 
     count = counts_ref[b * nt + t]
@@ -190,7 +193,8 @@ def _tile_range(lo, hi, tile_px, ntiles_axis):
 
 
 def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
-                  med_cap: int = 256, pool_cap: int = 64):
+                  med_cap: int = 256, pool_cap: int = 64,
+                  row0=0, full_h=None):
     """Output-proportional tile binning for one view.
 
     Returns (counts (ntiles,) i32, cand (ntiles,k) i32 triangle indices,
@@ -226,7 +230,8 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
         vy = sy[tri]
         ok = v_ok[tri].all(axis=1)
     px = (vx + 1.0) * 0.5 * W - 0.5
-    py = (vy + 1.0) * 0.5 * H - 0.5
+    py = (vy + 1.0) * 0.5 * (full_h if full_h is not None else H) - 0.5 \
+        - row0                                           # slab-local rows
     tx0, tx1, ex = _tile_range(px.min(axis=1), px.max(axis=1), tile_w, ntx)
     ty0, ty1, ey = _tile_range(py.min(axis=1), py.max(axis=1), tile_h, nty)
     ok = ok & ~ex & ~ey
@@ -304,7 +309,8 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
 
 
 def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
-                        corner=False, edge_nbrs=None, shared=False):
+                        corner=False, edge_nbrs=None, shared=False,
+                        row0=0, full_h=None):
     """One view: bin + candidate screen data.
 
     ``shared=False``: returns (counts (ntiles,) i32, data (ntiles,R,K) f32
@@ -324,7 +330,7 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     F = tri.shape[0]
     sx, sy, sz, v_ok = _screen(pos)
     counts, cand = bin_triangles(pos, tri, resolution, tile_h, tile_w, k,
-                                 corner=corner)
+                                 corner=corner, row0=row0, full_h=full_h)
     if corner:
         vx = sx.reshape(F, 3)
         vy = sy.reshape(F, 3)
@@ -370,13 +376,15 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
 
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "tile_h", "tile_w", "k",
-                                    "interpret", "with_z", "corner"))
+                                    "interpret", "with_z", "corner",
+                                    "full_h"))
 def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                          resolution: Tuple[int, int], tile_h: int = 8,
                          tile_w: int = 128, k: Optional[int] = None,
                          interpret: bool = False, with_z: bool = False,
                          corner: bool = False,
-                         with_g=None):
+                         with_g=None, row0=None,
+                         full_h: Optional[int] = None):
     """Winning (triangle id + 1) per pixel, (B,H,W) int32 — Pallas TPU path.
 
     Same contract and capacity heuristic as rasterize_ids_tiled; set
@@ -385,13 +393,19 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     ``with_g=edge_nbrs`` additionally returns the winner's 16-channel AA
     rows (xy + neighbor ids + orientation; z/iw slots zero) — all outputs
     non-differentiable (reattach gradients with winner_screen_rows).
+    ``(row0, full_h)`` rasterizes a horizontal slab: local rows map to
+    absolute rows row0 + r of a full_h-tall image (row0 may be traced — it
+    rides the scalar-prefetch channel into the kernel; full_h is static).
     """
     H, W = resolution
+    if row0 is None:
+        row0 = 0
+    fh = full_h if full_h is not None else H
     assert H % tile_h == 0 and W % tile_w == 0, "resolution must tile"
     B = pos_clip.shape[0]
     F = tri.shape[0]
     if k is None:
-        k = default_tile_capacity(F, resolution, tile_h, tile_w)
+        k = default_tile_capacity(F, (fh, W), tile_h, tile_w)
     k = min(_next_pow2(k), _next_pow2(F))
     nty, ntx = H // tile_h, W // tile_w
     ntiles = nty * ntx
@@ -408,7 +422,8 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                                                   tile_h, tile_w, k,
                                                   corner=corner,
                                                   edge_nbrs=with_g,
-                                                  shared=shared_tbl))
+                                                  shared=shared_tbl,
+                                                  row0=row0, full_h=full_h))
     counts, data, ids = prep(pos_clip)                   # (B,ntiles,…)
 
     out_shapes = [jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
@@ -416,46 +431,49 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                   jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
                                        jnp.float32)]
     tile_spec = pl.BlockSpec((1, 1, tile_h, tile_w),
-                             lambda b, t, c: (b, t, 0, 0),
+                             lambda b, t, c, r: (b, t, 0, 0),
                              memory_space=pltpu.VMEM)
     out_specs = [tile_spec, tile_spec]
     if with_g is not None:
         out_shapes.append(jax.ShapeDtypeStruct(
             (B, ntiles, 16, tile_h, tile_w), jnp.float32))
         out_specs.append(pl.BlockSpec((1, 1, 16, tile_h, tile_w),
-                                      lambda b, t, c: (b, t, 0, 0, 0),
+                                      lambda b, t, c, r: (b, t, 0, 0, 0),
                                       memory_space=pltpu.VMEM))
 
     if shared_tbl:
-        data_spec = pl.BlockSpec((1, R, F + 1), lambda b, t, c: (b, 0, 0),
+        data_spec = pl.BlockSpec((1, R, F + 1),
+                                 lambda b, t, c, r: (b, 0, 0),
                                  memory_space=pltpu.SMEM)
         data_arg = data                                  # (B,R,F+1)
     else:
-        data_spec = pl.BlockSpec((1, 1, R, k), lambda b, t, c: (b, t, 0, 0),
+        data_spec = pl.BlockSpec((1, 1, R, k),
+                                 lambda b, t, c, r: (b, t, 0, 0),
                                  memory_space=pltpu.SMEM)
         data_arg = data.reshape(B, ntiles, R, k)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, ntiles),
         in_specs=[
             # SMEM: the K-loop reads per-candidate scalars at dynamic
             # offsets, which VMEM vector loads cannot do
             data_spec,
-            pl.BlockSpec((1, 1, 1, k), lambda b, t, c: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, 1, k), lambda b, t, c, r: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=tuple(out_specs),
     )
     kern = _vis_kernel if with_g is None else _vis_kernel_g
     kernel = functools.partial(kern, tile_h=tile_h, tile_w=tile_w,
-                               ntx=ntx, H=H, W=W, shared_tbl=shared_tbl)
+                               ntx=ntx, H=fh, W=W, shared_tbl=shared_tbl)
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
     results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(counts.reshape(-1), data_arg, ids)
+    )(counts.reshape(-1), row0_arr, data_arg, ids)
 
     def detile(a):
         return a.reshape(B, nty, ntx, tile_h, tile_w) \

@@ -44,10 +44,16 @@ _W_EPS = 1e-9
 _AREA_EPS = 1e-14
 
 
-def _pixel_centers(resolution: Tuple[int, int], dtype=jnp.float32):
+def _pixel_centers(resolution: Tuple[int, int], dtype=jnp.float32,
+                   row0=0, full_h: Optional[int] = None):
+    """Pixel-center NDC grids. ``(row0, full_h)`` renders a horizontal
+    slab: local row r maps to absolute row row0 + r of a full_h-tall image
+    (row0 may be traced — the spatial-sharding axis offsets per device)."""
     H, W = resolution
+    fh = full_h if full_h is not None else H
     x = (jnp.arange(W, dtype=dtype) + 0.5) / W * 2.0 - 1.0
-    y = (jnp.arange(H, dtype=dtype) + 0.5) / H * 2.0 - 1.0
+    y = (jnp.arange(H, dtype=dtype) + jnp.asarray(row0, dtype) + 0.5) \
+        / fh * 2.0 - 1.0
     return x[None, :], y[:, None]                       # broadcastable (1,W),(H,1)
 
 
@@ -69,7 +75,9 @@ def _screen(pos: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def _rasterize_ids_one_view(pos: jnp.ndarray, tri: jnp.ndarray,
-                            resolution: Tuple[int, int], chunk: int) -> jnp.ndarray:
+                            resolution: Tuple[int, int], chunk: int,
+                            row0=0,
+                            full_h: Optional[int] = None) -> jnp.ndarray:
     """One view: pos (V,4) -> winning (tri id+1) per pixel, (H,W) int32."""
     H, W = resolution
     F = tri.shape[0]
@@ -80,7 +88,7 @@ def _rasterize_ids_one_view(pos: jnp.ndarray, tri: jnp.ndarray,
     ids_c = (jnp.arange(n_chunks * chunk, dtype=jnp.int32) + 1).reshape(n_chunks, chunk)
 
     sx, sy, sz, v_ok = _screen(pos)
-    px, py = _pixel_centers(resolution, pos.dtype)
+    px, py = _pixel_centers(resolution, pos.dtype, row0, full_h)
 
     def body(state, inp):
         best_z, best_id = state
@@ -122,14 +130,19 @@ def _rasterize_ids_one_view(pos: jnp.ndarray, tri: jnp.ndarray,
 
 
 def rasterize_ids(pos_clip: jnp.ndarray, tri: jnp.ndarray,
-                  resolution: Tuple[int, int], chunk: int = 64) -> jnp.ndarray:
+                  resolution: Tuple[int, int], chunk: int = 64,
+                  viewport=None) -> jnp.ndarray:
     """Winning triangle ids (+1, 0=background) per pixel: (B,H,W) int32.
 
     Pure forward visibility; always evaluated under stop_gradient. Views are
-    processed sequentially (lax.map) to bound memory at (chunk,H,W)."""
+    processed sequentially (lax.map) to bound memory at (chunk,H,W).
+    ``viewport=(row0, full_h)`` rasterizes a horizontal slab (see
+    _pixel_centers)."""
+    row0, full_h = viewport if viewport is not None else (0, None)
     pos_clip = jax.lax.stop_gradient(pos_clip)
     f = functools.partial(_rasterize_ids_one_view, tri=tri,
-                          resolution=resolution, chunk=chunk)
+                          resolution=resolution, chunk=chunk,
+                          row0=row0, full_h=full_h)
     return jax.lax.map(f, pos_clip)
 
 
@@ -195,14 +208,16 @@ def validate_tile_capacity(pos_clip, tri, resolution, tile_h=8, tile_w=128,
     return min(k, _next_pow2(F))
 
 
-def _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w):
+def _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w,
+                       row0=0, full_h=None):
     """(ntiles, F) bool: triangle bbox (pixel-center coords) intersects tile."""
     vx = sx[tri]                                        # (F,3) NDC
     vy = sy[tri]
     ok = v_ok[tri].all(axis=1)
-    # NDC -> pixel-center coordinates
+    # NDC -> pixel-center coordinates (slab-local rows when viewported)
     px = (vx + 1.0) * 0.5 * W - 0.5
-    py = (vy + 1.0) * 0.5 * H - 0.5
+    py = (vy + 1.0) * 0.5 * (full_h if full_h is not None else H) - 0.5 \
+        - row0
     xmin, xmax = px.min(axis=1), px.max(axis=1)
     ymin, ymax = py.min(axis=1), py.max(axis=1)
 
@@ -222,12 +237,13 @@ def _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w):
 
 
 def _rasterize_ids_tiled_one_view(pos, tri, resolution, tile_h, tile_w, k,
-                                  ck):
+                                  ck, row0=0, full_h=None):
     H, W = resolution
     F = tri.shape[0]
     sx, sy, sz, v_ok = _screen(pos)
 
-    ov = _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w)
+    ov = _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w,
+                            row0, full_h)
     ntiles = ov.shape[0]
     nty, ntx = H // tile_h, W // tile_w
 
@@ -248,13 +264,15 @@ def _rasterize_ids_tiled_one_view(pos, tri, resolution, tile_h, tile_w, k,
     valid_e = jnp.concatenate([jnp.ones((F,), jnp.bool_),
                                jnp.zeros((1,), jnp.bool_)])
 
-    # per-tile pixel-center NDC grids
+    # per-tile pixel-center NDC grids (absolute rows when viewported)
+    fh = full_h if full_h is not None else H
     ty = jnp.arange(nty)
     tx = jnp.arange(ntx)
     lx = (jnp.arange(tile_w, dtype=pos.dtype) + 0.5)
     ly = (jnp.arange(tile_h, dtype=pos.dtype) + 0.5)
     gx = (tx[:, None] * tile_w + lx[None, :]) / W * 2.0 - 1.0   # (ntx,TW)
-    gy = (ty[:, None] * tile_h + ly[None, :]) / H * 2.0 - 1.0   # (nty,TH)
+    gy = (ty[:, None] * tile_h + ly[None, :]
+          + jnp.asarray(row0, pos.dtype)) / fh * 2.0 - 1.0      # (nty,TH)
     pxg = jnp.broadcast_to(gx[None, :, None, :], (nty, ntx, tile_h, tile_w)) \
         .reshape(ntiles, tile_h, tile_w)
     pyg = jnp.broadcast_to(gy[:, None, :, None], (nty, ntx, tile_h, tile_w)) \
@@ -314,7 +332,7 @@ def _rasterize_ids_tiled_one_view(pos, tri, resolution, tile_h, tile_w, k,
 def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                         resolution: Tuple[int, int], tile_h: int = 8,
                         tile_w: int = 128, k: Optional[int] = None,
-                        ck: int = 16) -> jnp.ndarray:
+                        ck: int = 16, viewport=None) -> jnp.ndarray:
     """Tile-binned visibility search: (B,H,W) int32 winning ids (+1).
 
     ``k`` is the static per-tile candidate capacity (default heuristic:
@@ -323,18 +341,20 @@ def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     tile_overlap_counts when in doubt. Requires H % tile_h == W % tile_w == 0.
     """
     H, W = resolution
+    row0, full_h = viewport if viewport is not None else (0, None)
     if H % tile_h or W % tile_w:
-        return rasterize_ids(pos_clip, tri, resolution)
+        return rasterize_ids(pos_clip, tri, resolution, viewport=viewport)
     F = tri.shape[0]
     if k is None:
-        k = default_tile_capacity(F, resolution, tile_h, tile_w)
+        k = default_tile_capacity(F, (full_h or H, W), tile_h, tile_w)
     k = min(_next_pow2(k), _next_pow2(F))
     ck = min(ck, k)
     k = (k // ck) * ck
     pos_clip = jax.lax.stop_gradient(pos_clip)
     f = functools.partial(_rasterize_ids_tiled_one_view, tri=tri,
                           resolution=resolution, tile_h=tile_h,
-                          tile_w=tile_w, k=k, ck=ck)
+                          tile_w=tile_w, k=k, ck=ck, row0=row0,
+                          full_h=full_h)
     return jax.lax.map(f, pos_clip)
 
 
@@ -513,9 +533,10 @@ def winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel, corner):
 
 def _shade_rast(pos_clip: jnp.ndarray, tri: jnp.ndarray, ids: jnp.ndarray,
                 resolution: Tuple[int, int],
-                corner: bool = False) -> jnp.ndarray:
+                corner: bool = False, viewport=None) -> jnp.ndarray:
+    row0, full_h = viewport if viewport is not None else (0, None)
     g = _gather_tri_screen(pos_clip, tri, ids, corner=corner)  # (B,H,W,12)
-    px, py = _pixel_centers(resolution, pos_clip.dtype)  # (1,W),(H,1)
+    px, py = _pixel_centers(resolution, pos_clip.dtype, row0, full_h)
     px = px[None]
     py = py[None]
 
@@ -545,7 +566,7 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
               resolution: Tuple[int, int], chunk: int = 64,
               ids: Optional[jnp.ndarray] = None,
               method: str = "auto", corner: bool = False,
-              k: Optional[int] = None) -> jnp.ndarray:
+              k: Optional[int] = None, viewport=None) -> jnp.ndarray:
     """Full rasterization: (B,H,W,4) = (u, v, z/w, id+1).
 
     ``ids`` may be supplied by an external visibility kernel; otherwise the
@@ -562,23 +583,28 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         aligned = H % 8 == 0 and W % 128 == 0
         big = tri.shape[0] >= 512
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        if method == "pallas" or (method == "auto" and aligned and big
-                                  and on_tpu):
+        if (method == "pallas" or (method == "auto" and aligned and big
+                                   and on_tpu)) and viewport is None:
             from .pallas_raster import rasterize_ids_pallas
             ids = rasterize_ids_pallas(pos_clip, tri, resolution,
                                        corner=corner, k=k)
-        elif method == "tiled" or (method == "auto" and aligned and big):
-            ids = rasterize_ids_tiled(pos_clip, tri, resolution, k=k)
+        elif method in ("tiled", "pallas") or (method == "auto" and aligned
+                                               and big):
+            ids = rasterize_ids_tiled(pos_clip, tri, resolution, k=k,
+                                      viewport=viewport)
         else:
-            ids = rasterize_ids(pos_clip, tri, resolution, chunk)
-    return _shade_rast(pos_clip, tri, ids, resolution, corner=corner)
+            ids = rasterize_ids(pos_clip, tri, resolution, chunk,
+                                viewport=viewport)
+    return _shade_rast(pos_clip, tri, ids, resolution, corner=corner,
+                       viewport=viewport)
 
 
 def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                          resolution: Tuple[int, int],
                          method: str = "auto",
                          corner: bool = False,
-                         k: Optional[int] = None) -> jnp.ndarray:
+                         k: Optional[int] = None,
+                         viewport=None) -> jnp.ndarray:
     """Silhouette-only rasterization: (B,H,W,4) with u=v=0 and
     non-differentiable (z, id) channels.
 
@@ -592,14 +618,16 @@ def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     aligned = H % 8 == 0 and W % 128 == 0
     big = tri.shape[0] >= 512
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    vp = viewport if viewport is not None else (None, None)
     if method == "pallas" or (method == "auto" and aligned and big and on_tpu):
         from .pallas_raster import rasterize_ids_pallas
         ids, z = rasterize_ids_pallas(pos_clip, tri, resolution, with_z=True,
-                                      corner=corner, k=k)
+                                      corner=corner, k=k, row0=vp[0],
+                                      full_h=vp[1])
         zero = jnp.zeros_like(z)
         return jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
     rast = rasterize(pos_clip, tri, resolution, method=method, corner=corner,
-                     k=k)
+                     k=k, viewport=viewport)
     rast = jax.lax.stop_gradient(rast)
     return rast.at[..., 0:2].set(0.0)
 
@@ -607,7 +635,8 @@ def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
                                    method: str = "auto",
                                    corner: bool = False,
-                                   k: Optional[int] = None):
+                                   k: Optional[int] = None,
+                                   viewport=None):
     """Silhouette rasterization + the winner's differentiable AA rows.
 
     On the Pallas path the kernel emits the per-pixel winner rows directly
@@ -619,18 +648,21 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
     aligned = H % 8 == 0 and W % 128 == 0
     big = tri.shape[0] >= 512
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    vp = viewport if viewport is not None else (None, None)
     if method == "pallas" or (method == "auto" and aligned and big and on_tpu):
         from .pallas_raster import rasterize_ids_pallas
         ids, z, g_kernel = rasterize_ids_pallas(pos_clip, tri, resolution,
                                                 corner=corner,
-                                                with_g=edge_nbrs, k=k)
+                                                with_g=edge_nbrs, k=k,
+                                                row0=vp[0], full_h=vp[1])
         zero = jnp.zeros_like(z)
         rast = jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
         g = winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel,
                                corner)
         return rast, g
     return rasterize_silhouette(pos_clip, tri, resolution, method=method,
-                                corner=corner, k=k), None
+                                corner=corner, k=k,
+                                viewport=viewport), None
 
 
 def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray,
@@ -751,7 +783,9 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
 def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
               tri: jnp.ndarray, edge_nbrs: jnp.ndarray,
               corner: bool = False,
-              g_precomputed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+              g_precomputed: Optional[jnp.ndarray] = None,
+              viewport=None,
+              row_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Analytic silhouette antialiasing (nvdiffrast dr.antialias semantics,
     pos_gradient_boost=1; reference renderers/mesh_rasterizer.py:107-108,128-129).
 
@@ -774,7 +808,8 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
                                corner=corner)            # (B,H,W,16); one
     # row gather carries everything the pair logic needs
 
-    px, py = _pixel_centers((H, W), color.dtype)
+    row0, full_h = viewport if viewport is not None else (0, None)
+    px, py = _pixel_centers((H, W), color.dtype, row0, full_h)
     pcent = jnp.stack([jnp.broadcast_to(px, (H, W)),
                        jnp.broadcast_to(py, (H, W))], axis=-1)  # (H,W,2)
     pcent = jnp.broadcast_to(pcent[None], (B, H, W, 2))
@@ -796,6 +831,13 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
                        z[:, :-1], z[:, 1:],
                        g[:, :-1], g[:, 1:],
                        pcent[:, :-1], pcent[:, 1:])
+    if row_valid is not None:
+        # spatial slabs: vertical pairs whose partner row lies outside the
+        # image don't exist in full-image semantics — cut their deltas
+        pv = (row_valid[:-1] & row_valid[1:]).astype(color.dtype)
+        pv = pv[None, :, None, None]
+        da = da * pv
+        db = db * pv
     out = out + jnp.pad(da, ((0, 0), (0, 1), (0, 0), (0, 0)))
     out = out + jnp.pad(db, ((0, 0), (1, 0), (0, 0), (0, 0)))
     return out

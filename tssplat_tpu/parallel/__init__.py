@@ -1,5 +1,8 @@
 from .mesh import (make_device_mesh, view_sharding, replicated_sharding,
                    chunked_view_sharding, shard_batch, batch_spec_for)
+from .spatial import (spatial_mesh, spatial_silhouette_loss,
+                      shard_spatial_batch)
 
 __all__ = ["make_device_mesh", "view_sharding", "replicated_sharding",
-           "chunked_view_sharding", "shard_batch", "batch_spec_for"]
+           "chunked_view_sharding", "shard_batch", "batch_spec_for",
+           "spatial_mesh", "spatial_silhouette_loss", "shard_spatial_batch"]
