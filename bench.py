@@ -79,9 +79,11 @@ def main():
         print(f"view_chunk={view_chunk}", file=sys.stderr, flush=True)
 
     material_fn = None
+    sample_px = int(os.environ.get("BENCH_TEX_SAMPLE", 0))
     if stage == "texture":
         # texture stage: geometry frozen, hash-grid + MLP material fitted
-        # against the RGB targets (reference trainer.py:44-48,101-103)
+        # against the RGB targets (reference trainer.py:44-48,101-103);
+        # BENCH_TEX_SAMPLE > 0 benches the stochastic pixel-sampled path
         from tssplat_tpu.materials import ExplicitMaterial
         material = ExplicitMaterial({})
         material_fn = material.apply_fn
@@ -93,6 +95,7 @@ def main():
     step = make_train_step(geo.statics, update_fn, fitting_stage=stage,
                            resolution=res, fit_depth=False, is_ortho=False,
                            view_chunk=view_chunk, material_fn=material_fn,
+                           texture_sample_px=sample_px,
                            tet_v_frozen=jnp.array(geo.tet_v))
     state = TrainState(params=params, opt_state=init_fn(params),
                        best_loss=jnp.asarray(jnp.inf, jnp.float32),
