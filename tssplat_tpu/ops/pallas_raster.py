@@ -180,6 +180,97 @@ def _vis_kernel_g(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
     g_ref[0, 0, 15] = chans[9] * fgf
 
 
+def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
+                     data_ref, vals_ref, pool_ref, *out_refs,
+                     tile_h, tile_w, ntx, H, W, pool_cap, emit_g):
+    """Visibility search over the FLAT candidate layout: per-tile ids are
+    read from the view's sorted (tile, id) pair list at the tile's start
+    offset (both SMEM, shared across the view's tile grid) plus a small
+    per-view pool of big triangles — no dense (ntiles, k) candidate
+    matrix exists anywhere, so binning memory stays proportional to the
+    actual overlap pairs and no per-tile capacity can drop triangles.
+    ``emit_g`` additionally emits the winner's 16-channel AA rows like
+    _vis_kernel_g."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    ty = t // ntx
+    tx = t % ntx
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) \
+        .astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) \
+        .astype(jnp.float32)
+    py = ((ty * tile_h + row0_ref[0]).astype(jnp.float32) + row + 0.5) \
+        / H * 2.0 - 1.0
+    px = ((tx * tile_w).astype(jnp.float32) + col + 0.5) / W * 2.0 - 1.0
+
+    count = counts_ref[b * nt + t]
+    start = starts_ref[b * nt + t]
+    npool = npool_ref[b]
+
+    def body(i, carry):
+        best_z, best_id = carry[0], carry[1]
+        ip = jnp.minimum(i, pool_cap - 1)
+        iv = start + jnp.maximum(i - npool, 0)
+        tid0 = jnp.where(i < npool, pool_ref[0, 0, ip], vals_ref[0, 0, iv])
+        tid = tid0 + 1                       # winner convention: id + 1
+        rd = lambda ch: data_ref[0, ch, tid0]            # noqa: E731
+        ax = rd(0)
+        ay = rd(1)
+        bx = rd(2)
+        by = rd(3)
+        cx = rd(4)
+        cy = rd(5)
+        z0 = rd(6)
+        z1 = rd(7)
+        z2 = rd(8)
+        inv_area = rd(9)
+        valid = rd(10)
+
+        e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
+        e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
+        e2 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * inv_area
+        z = e0 * z0 + e1 * z1 + e2 * z2
+        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (valid > 0) \
+            & (z >= -1.0) & (z <= 1.0)
+        zc = jnp.where(cov, z, _INF)
+        # same smaller-id tie-break as _vis_kernel (see note there)
+        take = (zc < best_z) | ((zc == best_z) & cov & (tid < best_id))
+        out = (jnp.where(take, zc, best_z), jnp.where(take, tid, best_id))
+        if emit_g:
+            sgn = jnp.sign(inv_area)
+            new_vals = (ax, rd(2), rd(4), ay, rd(3), rd(5),
+                        rd(12), rd(13), rd(14), sgn)
+            chans = tuple(jnp.where(take, v, c)
+                          for v, c in zip(new_vals, carry[2]))
+            out = out + (chans,)
+        return out
+
+    zero = jnp.zeros((tile_h, tile_w), jnp.float32)
+    init = (jnp.full((tile_h, tile_w), _INF, jnp.float32),
+            jnp.zeros((tile_h, tile_w), jnp.int32))
+    if emit_g:
+        init = init + (tuple(zero for _ in range(10)),)
+    res = jax.lax.fori_loop(0, count, body, init)
+    best_z, best_id = res[0], res[1]
+    fg = best_id > 0
+    out_refs[0][0, 0] = best_id
+    out_refs[1][0, 0] = jnp.where(fg, best_z, 0.0)
+    if emit_g:
+        chans = res[2]
+        g_ref = out_refs[2]
+        fgf = fg.astype(jnp.float32)
+        for j in range(6):                   # ax,bx,cx,ay,by,cy
+            g_ref[0, 0, j] = chans[j] * fgf
+        for j in range(6, 12):               # unused z/iw slots
+            g_ref[0, 0, j] = zero
+        g_ref[0, 0, 12] = chans[6] * fgf
+        g_ref[0, 0, 13] = chans[7] * fgf
+        g_ref[0, 0, 14] = chans[8] * fgf
+        g_ref[0, 0, 15] = chans[9] * fgf
+
+
 def _tile_range(lo, hi, tile_px, ntiles_axis):
     """Inclusive tile-index range [t0, t1] whose pixel-center span
     [t*tile_px - 0.5, (t+1)*tile_px - 0.5] intersects the bbox [lo, hi]
@@ -194,7 +285,7 @@ def _tile_range(lo, hi, tile_px, ntiles_axis):
 
 def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
                   med_cap: int = 256, pool_cap: int = 64,
-                  row0=0, full_h=None):
+                  row0=0, full_h=None, flat=False):
     """Output-proportional tile binning for one view.
 
     Returns (counts (ntiles,) i32, cand (ntiles,k) i32 triangle indices,
@@ -215,6 +306,13 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
     whose candidate count exceeds ``k`` drop an arbitrary subset; size
     caps with tile_overlap_counts/validate_tile_capacity when changing
     scenes (the trainer does this at startup).
+
+    ``flat=True`` skips the dense (ntiles, k) materialization (an
+    ntiles*k-row gather — it dominated binning cost) and returns the
+    sorted pair list itself: (counts, starts (ntiles,), vals (L,),
+    pool (P,), n_pool) where tile t's binned candidates are
+    vals[starts[t] : starts[t] + counts[t] - n_pool] plus pool[:n_pool].
+    counts are exact (no k cap): the flat layout cannot overflow a tile.
     """
     H, W = resolution
     F = tri.shape[0]
@@ -295,6 +393,11 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
         jnp.sum(big.astype(jnp.int32))
         + jnp.clip(n_med - med_cap, 0, pool_cap), pool_cap)
 
+    if flat:
+        counts = (n_pool + tile_counts).astype(jnp.int32)        # exact
+        return (counts, starts[:-1].astype(jnp.int32),
+                vals_s.astype(jnp.int32), pool, n_pool.astype(jnp.int32))
+
     counts = jnp.minimum(n_pool + tile_counts, k).astype(jnp.int32)
 
     j = jnp.arange(k, dtype=jnp.int32)[None, :]                  # (1,k)
@@ -310,7 +413,7 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
 
 def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
                         corner=False, edge_nbrs=None, shared=False,
-                        row0=0, full_h=None):
+                        row0=0, full_h=None, flat=False):
     """One view: bin + candidate screen data.
 
     ``shared=False``: returns (counts (ntiles,) i32, data (ntiles,R,K) f32
@@ -320,6 +423,11 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     ids) — no per-tile gather at all (the pre-gather duplicates each
     triangle row into every overlapped tile's K-slot block; the shared
     table is F-sized).
+    ``flat=True`` (implies shared table): returns (counts, starts, n_pool,
+    tbl, vals, pool) — the sorted pair list itself rides SMEM next to the
+    table; no (ntiles, K) array of any kind is built (the dense candidate
+    materialization was an ntiles*k-row gather dominating binning cost)
+    and counts are exact (no per-tile capacity).
 
     Structure matters: bin_triangles keeps the binning cost proportional
     to actual (triangle, tile) overlap pairs (the round-1 (F, ntiles)
@@ -329,8 +437,15 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     H, W = resolution
     F = tri.shape[0]
     sx, sy, sz, v_ok = _screen(pos)
-    counts, cand = bin_triangles(pos, tri, resolution, tile_h, tile_w, k,
-                                 corner=corner, row0=row0, full_h=full_h)
+    if flat:
+        counts, starts, vals, pool, n_pool = bin_triangles(
+            pos, tri, resolution, tile_h, tile_w, k, corner=corner,
+            row0=row0, full_h=full_h, flat=True)
+        cand = None
+    else:
+        counts, cand = bin_triangles(pos, tri, resolution, tile_h, tile_w,
+                                     k, corner=corner, row0=row0,
+                                     full_h=full_h)
     if corner:
         vx = sx.reshape(F, 3)
         vy = sy.reshape(F, 3)
@@ -360,6 +475,11 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
         en = edge_nbrs.astype(pos.dtype)
         cols += [en[:, 0], en[:, 1], en[:, 2], jnp.zeros_like(ax)]
     R = len(cols)
+    if flat:
+        tbl = jnp.stack(cols, axis=0)                    # (R,F)
+        tbl = jnp.concatenate([tbl, jnp.zeros((R, 1), tbl.dtype)], axis=1)
+        return counts, starts, n_pool, tbl, vals, pool
+
     ids = (cand + 1)[:, None, :]                         # (ntiles,1,K)
 
     if shared:
@@ -418,62 +538,104 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     # (B, ntiles, R, K) pre-gather that duplicates each triangle row into
     # every overlapped tile
     shared_tbl = (F + 1) * R * 4 <= _SMEM_TBL_BUDGET
-    prep = jax.vmap(lambda p: _prepare_candidates(p, tri, resolution,
-                                                  tile_h, tile_w, k,
-                                                  corner=corner,
-                                                  edge_nbrs=with_g,
-                                                  shared=shared_tbl,
-                                                  row0=row0, full_h=full_h))
-    counts, data, ids = prep(pos_clip)                   # (B,ntiles,…)
+    # flat mode: the sorted pair list + per-view pool ride SMEM next to
+    # the table; binning never materializes a dense (ntiles, K) candidate
+    # matrix (that was an ntiles*k-row gather dominating binning cost) and
+    # no per-tile capacity exists to drop triangles
+    med_cap = min(256, F)
+    pool_cap = min(64, F)
+    L = 4 * F + 32 * med_cap
+    flat_mode = shared_tbl and \
+        ((F + 1) * R + L + pool_cap) * 4 <= _SMEM_TBL_BUDGET
 
     out_shapes = [jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
                                        jnp.int32),
                   jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
                                        jnp.float32)]
     tile_spec = pl.BlockSpec((1, 1, tile_h, tile_w),
-                             lambda b, t, c, r: (b, t, 0, 0),
+                             lambda b, t, *_: (b, t, 0, 0),
                              memory_space=pltpu.VMEM)
     out_specs = [tile_spec, tile_spec]
     if with_g is not None:
         out_shapes.append(jax.ShapeDtypeStruct(
             (B, ntiles, 16, tile_h, tile_w), jnp.float32))
         out_specs.append(pl.BlockSpec((1, 1, 16, tile_h, tile_w),
-                                      lambda b, t, c, r: (b, t, 0, 0, 0),
+                                      lambda b, t, *_: (b, t, 0, 0, 0),
                                       memory_space=pltpu.VMEM))
-
-    if shared_tbl:
-        data_spec = pl.BlockSpec((1, R, F + 1),
-                                 lambda b, t, c, r: (b, 0, 0),
-                                 memory_space=pltpu.SMEM)
-        data_arg = data                                  # (B,R,F+1)
-    else:
-        data_spec = pl.BlockSpec((1, 1, R, k),
-                                 lambda b, t, c, r: (b, t, 0, 0),
-                                 memory_space=pltpu.SMEM)
-        data_arg = data.reshape(B, ntiles, R, k)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, ntiles),
-        in_specs=[
-            # SMEM: the K-loop reads per-candidate scalars at dynamic
-            # offsets, which VMEM vector loads cannot do
-            data_spec,
-            pl.BlockSpec((1, 1, 1, k), lambda b, t, c, r: (b, t, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=tuple(out_specs),
-    )
-    kern = _vis_kernel if with_g is None else _vis_kernel_g
-    kernel = functools.partial(kern, tile_h=tile_h, tile_w=tile_w,
-                               ntx=ntx, H=fh, W=W, shared_tbl=shared_tbl)
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
-    results = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=tuple(out_shapes),
-        interpret=interpret,
-    )(counts.reshape(-1), row0_arr, data_arg, ids)
+
+    if flat_mode:
+        prep = jax.vmap(lambda p: _prepare_candidates(
+            p, tri, resolution, tile_h, tile_w, k, corner=corner,
+            edge_nbrs=with_g, row0=row0, full_h=full_h, flat=True))
+        counts, starts, npool, tbl, vals, pool = prep(pos_clip)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, ntiles),
+            in_specs=[
+                pl.BlockSpec((1, R, F + 1), lambda b, t, *_: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                # TPU lowering requires the last two block dims to equal
+                # the array dims — ride a singleton middle axis so the
+                # per-view (L,) list is a full (1, L) trailing block
+                pl.BlockSpec((1, 1, L), lambda b, t, *_: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, pool_cap), lambda b, t, *_: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=tuple(out_specs),
+        )
+        kernel = functools.partial(_vis_kernel_flat, tile_h=tile_h,
+                                   tile_w=tile_w, ntx=ntx, H=fh, W=W,
+                                   pool_cap=pool_cap,
+                                   emit_g=with_g is not None)
+        results = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(counts.reshape(-1), starts.reshape(-1), npool, row0_arr,
+          tbl, vals[:, None, :], pool[:, None, :])
+    else:
+        prep = jax.vmap(lambda p: _prepare_candidates(
+            p, tri, resolution, tile_h, tile_w, k, corner=corner,
+            edge_nbrs=with_g, shared=shared_tbl, row0=row0,
+            full_h=full_h))
+        counts, data, ids = prep(pos_clip)               # (B,ntiles,…)
+
+        if shared_tbl:
+            data_spec = pl.BlockSpec((1, R, F + 1),
+                                     lambda b, t, *_: (b, 0, 0),
+                                     memory_space=pltpu.SMEM)
+            data_arg = data                              # (B,R,F+1)
+        else:
+            data_spec = pl.BlockSpec((1, 1, R, k),
+                                     lambda b, t, *_: (b, t, 0, 0),
+                                     memory_space=pltpu.SMEM)
+            data_arg = data.reshape(B, ntiles, R, k)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, ntiles),
+            in_specs=[
+                # SMEM: the K-loop reads per-candidate scalars at dynamic
+                # offsets, which VMEM vector loads cannot do
+                data_spec,
+                pl.BlockSpec((1, 1, 1, k), lambda b, t, *_: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=tuple(out_specs),
+        )
+        kern = _vis_kernel if with_g is None else _vis_kernel_g
+        kernel = functools.partial(kern, tile_h=tile_h, tile_w=tile_w,
+                                   ntx=ntx, H=fh, W=W,
+                                   shared_tbl=shared_tbl)
+        results = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(counts.reshape(-1), row0_arr, data_arg, ids)
 
     def detile(a):
         return a.reshape(B, nty, ntx, tile_h, tile_w) \
