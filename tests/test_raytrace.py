@@ -58,6 +58,79 @@ def test_raytrace_alpha_is_area_sampled():
     assert frac.sum() > 10                                # fractional ring
 
 
+def test_path_integrator_convex_equals_albedo():
+    """The reference transport (diffuse + constant env, hide_emitters —
+    reference data/render_dataset.py:190-201) has a closed form on a
+    convex body: every cosine-sampled bounce ray escapes to the constant
+    emitter, so radiance == albedo exactly, independent of view and
+    normal. The path integrator must reproduce it (up to rare
+    tessellation-grazing self-hits)."""
+    v, f = icosphere(2)
+    v = v * 0.3
+    albedo = np.asarray([0.6, 0.5, 0.4], np.float32)
+    mvp, _, campos = fibonacci_views(1)
+    rgba, _, _ = raytrace_views_of_mesh(
+        v, f, mvp, campos, 64, spp=4, ray_chunk=4096,
+        integrator="path", max_depth=4, base_color=albedo)
+    interior = rgba[0, ..., 3] > 0.999
+    assert interior.sum() > 100
+    col = rgba[0, ..., :3][interior]
+    med = np.median(col, axis=0)
+    np.testing.assert_allclose(med, albedo, atol=1e-3)
+    assert np.abs(col.mean(axis=0) - albedo).max() < 0.02
+
+
+def test_path_integrator_occlusion_darkens_concavities():
+    """A sphere resting on a ground plane: ground pixels near the contact
+    are sky-occluded (darker than albedo); far ground stays ~albedo. This
+    is the global-illumination behavior the single-bounce lambert shader
+    cannot produce."""
+    sv, sf = icosphere(2)
+    sv = sv * 0.3
+    g = 1.2
+    pv = np.asarray([[-g, -g, -0.3], [g, -g, -0.3],
+                     [g, g, -0.3], [-g, g, -0.3]], np.float32)
+    pf = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)  # +z winding
+    v = np.concatenate([sv, pv]).astype(np.float32)
+    f = np.concatenate([sf, pf + len(sv)]).astype(np.int32)
+
+    mvp, _, campos = fibonacci_views(12)
+    # oblique view (~30 deg elevation): a top-down camera hides the
+    # darkest near-contact ground behind the sphere itself
+    b = int(np.argmin(np.abs(campos[:, 2] - 2.0)))
+    rgba, _, nrm = raytrace_views_of_mesh(
+        v, f, mvp[b:b + 1], campos[b:b + 1], 96, spp=16, ray_chunk=4096,
+        integrator="path", max_depth=4, base_color=(0.8, 0.8, 0.8))
+    a = rgba[0, ..., 3] > 0.5
+    ground = a & (np.abs(nrm[0, ..., 2]) > 0.99)
+    assert ground.sum() > 200
+    bright = rgba[0, ..., 0][ground]
+    # near-contact ground is heavily sky-occluded
+    assert np.percentile(bright, 2) < 0.6
+    # far ground sees (almost) the full sky: ~albedo, +interreflection
+    assert 0.76 < np.percentile(bright, 90) < 0.88
+
+
+def test_path_geo_normal_aov_is_facewise():
+    """geo_normal_aov writes the geometric face normal (the reference's
+    nn:geo_normal AOV), not the interpolated shading normal."""
+    v, f = icosphere(1)
+    v = v * 0.3
+    mvp, _, campos = fibonacci_views(1)
+    _, _, n_geo = raytrace_views_of_mesh(
+        v, f, mvp, campos, 48, spp=1, ray_chunk=4096,
+        integrator="path", max_depth=1, geo_normal_aov=True)
+    _, _, n_sh = raytrace_views_of_mesh(
+        v, f, mvp, campos, 48, spp=1, ray_chunk=4096,
+        integrator="path", max_depth=1)
+    hit = np.linalg.norm(n_geo[0], axis=-1) > 0.5
+    ln = np.linalg.norm(n_geo[0][hit], axis=-1)
+    np.testing.assert_allclose(ln, 1.0, atol=1e-4)        # unit normals
+    dot = np.sum(n_geo[0] * n_sh[0], axis=-1)[hit]
+    assert np.median(dot) > 0.9                           # same orientation
+    assert (dot < 0.9999).sum() > hit.sum() * 0.3         # but not equal
+
+
 def test_raytraced_dataset_layout_loads(tmp_path):
     from tssplat_tpu.data import MitsubaImgDataset
     v, f = icosphere(1)
