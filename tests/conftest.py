@@ -16,6 +16,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# CI sanitizer hook (SURVEY §5): TSSPLAT_DEBUG_NANS=1 traps the first NaN
+# produced by any primitive across the whole suite.
+if os.environ.get("TSSPLAT_DEBUG_NANS", "0") not in ("", "0"):
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..config import parse_structured, GEOMETRIES
 from ..mesh.tetmesh import TetMesh
+from ..utils import debug
 from ..ops.energy import (EnergyOps, build_energy_ops, smooth_barrier_energy,
                           energy_coeff_schedule, barrier_order)
 
@@ -90,7 +91,9 @@ def compute_vertex_normals(v_pos: jax.Array, t_pos_idx: jax.Array) -> jax.Array:
     sq = jnp.sum(v_nrm * v_nrm, axis=-1, keepdims=True)
     v_nrm = jnp.where(sq > 1e-20, v_nrm,
                       jnp.asarray([0.0, 0.0, 1.0], v_pos.dtype))
-    return v_nrm / jnp.linalg.norm(v_nrm, axis=-1, keepdims=True)
+    v_nrm = v_nrm / jnp.linalg.norm(v_nrm, axis=-1, keepdims=True)
+    debug.check_finite(v_nrm, "vertex_normals")   # ref :63-64 anomaly gate
+    return v_nrm
 
 
 def compute_vertex_tangents(v_pos: jax.Array, t_pos_idx: jax.Array,
@@ -132,6 +135,7 @@ def compute_vertex_tangents(v_pos: jax.Array, t_pos_idx: jax.Array,
     tangents = normalize(tangents)
     tangents = normalize(tangents - jnp.sum(tangents * v_nrm, -1,
                                             keepdims=True) * v_nrm)
+    debug.check_finite(tangents, "vertex_tangents")  # ref :112-113 gate
     return tangents
 
 

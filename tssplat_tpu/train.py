@@ -37,6 +37,7 @@ from .config import (load_config, load_geometry, load_dataloader,
 from .geometry.tet_geometry import LinearInterpolateScheduler, \
     permute_surface_vertices
 from .optim import adam_uniform, cosine_annealing_lr, apply_updates
+from .utils import debug
 from .render.pipeline import render_views
 from . import data as _data  # noqa: F401 — registers dataloaders
 from . import geometry as _geometry  # noqa: F401 — registers geometries
@@ -283,6 +284,13 @@ def _validated_tile_k(geometry, dataloader, resolution: int,
 
 def train(cfg):
     verbose = cfg.get("verbose", False)
+    # sanitizers (SURVEY §5): debug_nans traps the first NaN at the op
+    # that made it; anomaly enables checkify finiteness sites (the
+    # reference's torch.is_anomaly_enabled() gates)
+    if cfg.get("debug_nans", False):
+        debug.enable_debug_nans(True)
+    if cfg.get("anomaly", False):
+        debug.set_anomaly(True)
     fitting_stage = cfg.get("fitting_stage", "geometry")
     out_path = cfg.output_path
     os.makedirs(os.path.join(out_path, "final"), exist_ok=True)
