@@ -479,11 +479,32 @@ def _wsr_bwd(corner, res, ct):
         sub_ct = jnp.take_along_axis(blk, safe[:, :, None, None], axis=1)
         sub_t = jnp.take_along_axis(tblk, safe[:, :, None], axis=1)
         sub_t = jnp.where(live[:, :, None], sub_t, F)    # dummy row
-        bidx = jnp.arange(B).reshape(B, 1, 1)
-        flat_s = (bidx * (F + 1) + sub_t).reshape(-1)
+        # second level: active subtiles are themselves sparse inside (only
+        # edge pixels carry cotangents) — compact to active PIXELS before
+        # the segment-sum (the scatter costs ~10 ms per million rows no
+        # matter how many are zero, so row count is the whole game)
+        M = A * 64
+        # cap sized so complex multi-sphere silhouettes (~10-15k active
+        # pixels/view at 512^2) never flip the cond's dense fallback —
+        # mid-run fallback flips cost 10x (see the subtile cap note above)
+        P = max(128, M // 4)
+        pct = sub_ct.reshape(B, M, CA)
+        pt = sub_t.reshape(B, M)
+        pflag = jnp.any(pct != 0.0, axis=-1)             # (B,M)
+        npx = jnp.sum(pflag.astype(jnp.int32), axis=1)   # (B,)
+        pidx = jnp.where(pflag, jnp.arange(M, dtype=jnp.int32)[None, :],
+                         jnp.int32(M))
+        pidx = jax.lax.sort(pidx, dimension=1, is_stable=False)[:, :P]
+        plive = pidx < M
+        psafe = jnp.minimum(pidx, M - 1)
+        px_ct = jnp.take_along_axis(pct, psafe[:, :, None], axis=1)
+        px_t = jnp.where(plive,
+                         jnp.take_along_axis(pt, psafe, axis=1), F)
+        bidx = jnp.arange(B).reshape(B, 1)
 
         def compact(_):
-            return jax.ops.segment_sum(sub_ct.reshape(-1, CA), flat_s,
+            flat_p = (bidx * (F + 1) + px_t).reshape(-1)
+            return jax.ops.segment_sum(px_ct.reshape(-1, CA), flat_p,
                                        num_segments=B * (F + 1))
 
         def dense(_):
@@ -492,7 +513,8 @@ def _wsr_bwd(corner, res, ct):
             return jax.ops.segment_sum(ct6.reshape(-1, CA), flat,
                                        num_segments=B * (F + 1))
 
-        d_act = jax.lax.cond(jnp.any(nact > A), dense, compact,
+        d_act = jax.lax.cond(jnp.any(nact > A) | jnp.any(npx > P),
+                             dense, compact,
                              operand=None).reshape(B, F + 1, CA)
     else:
         bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)))
@@ -705,6 +727,11 @@ def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray,
 
 def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
     """Compute AA color deltas for one axis of pixel pairs.
+
+    NOT rematerialized: wrapping this in jax.checkpoint was measured
+    SLOWER (12.5 vs 9.8 ms fwd+bwd at 8x512^2) — the chain is VPU
+    compute-bound, so recomputing it in the backward adds work instead
+    of saving intermediate traffic.
 
     a/b are the two pixels of each pair; p* are their NDC centers (…,2);
     g_* are per-pixel 16-channel winner rows (_gather_tri_screen with
