@@ -114,7 +114,7 @@ def main():
 
     def wsr_loss(p):
         g = winner_screen_rows(p, tri_c, ids, statics.edge_nbrs, gk, True)
-        return jnp.sum(g[..., :6] ** 2)
+        return jnp.sum(g[:, :6] ** 2)                    # channel-major
     ms = timeit(jax.jit(jax.grad(wsr_loss)), pos_clip, iters=iters)
     print(f"  winner-rows VJP:        {ms:.2f} ms", flush=True)
 

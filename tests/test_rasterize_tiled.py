@@ -166,7 +166,7 @@ def test_kernel_winner_rows_match_gather():
                                       corner=True, with_g=nbrs)
     g_ref = _gather_tri_screen(pos, tri_c, ids, edge_nbrs=nbrs, corner=True)
     for ch in list(range(6)) + [12, 13, 14, 15]:
-        np.testing.assert_allclose(np.asarray(gk[..., ch]),
+        np.testing.assert_allclose(np.asarray(gk[:, ch]),   # channel-major
                                    np.asarray(g_ref[..., ch]), atol=1e-6,
                                    err_msg=f"channel {ch}")
 
@@ -334,7 +334,7 @@ def test_wsr_dense_fallback_on_overflow():
 
     def via_kernel(p):
         g = winner_screen_rows(p, tri_c, ids, nbrs, gk, True)
-        return jnp.sum(g[..., :6] ** 2)
+        return jnp.sum(g[:, :6] ** 2)                    # channel-major
 
     def via_gather(p):
         g = _gather_tri_screen(p, tri_c, ids, edge_nbrs=nbrs, corner=True)

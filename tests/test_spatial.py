@@ -56,8 +56,8 @@ def test_viewport_pallas_matches_full_rows():
                                          row0=jnp.int32(row0), full_h=H)
         assert (np.asarray(ids) != np.asarray(full)[:, row0:row0 + hloc]) \
             .sum() == 0
-        np.testing.assert_allclose(np.asarray(g),
-                                   np.asarray(gf)[:, row0:row0 + hloc],
+        np.testing.assert_allclose(np.asarray(g),        # g channel-major
+                                   np.asarray(gf)[:, :, row0:row0 + hloc],
                                    atol=1e-6)
 
 

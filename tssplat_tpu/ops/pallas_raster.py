@@ -511,8 +511,9 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     ``interpret=True`` to run the kernel in interpreter mode off-TPU.
     ``with_z=True`` additionally returns the winner's z/w (B,H,W) f32.
     ``with_g=edge_nbrs`` additionally returns the winner's 16-channel AA
-    rows (xy + neighbor ids + orientation; z/iw slots zero) — all outputs
-    non-differentiable (reattach gradients with winner_screen_rows).
+    rows, channel-major (B,16,H,W) (xy + neighbor ids + orientation; z/iw
+    slots zero) — all outputs non-differentiable (reattach gradients with
+    winner_screen_rows).
     ``(row0, full_h)`` rasterizes a horizontal slab: local rows map to
     absolute rows row0 + r of a full_h-tall image (row0 may be traced — it
     rides the scalar-prefetch channel into the kernel; full_h is static).
@@ -643,8 +644,12 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 
     if with_g is not None:
         out, zout, g = results
+        # channel-MAJOR (B,16,H,W): a single channel slice g[:, j] keeps W
+        # on the VPU lane axis; the row-major (B,H,W,16) layout put 16 in
+        # lanes and padded every AA-chain intermediate 8x (measured 2x on
+        # the whole AA fwd+bwd)
         g = g.reshape(B, nty, ntx, 16, tile_h, tile_w) \
-            .transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, 16)
+            .transpose(0, 3, 1, 4, 2, 5).reshape(B, 16, H, W)
         return detile(out), detile(zout), g
     out, zout = results
     if with_z:

@@ -444,62 +444,84 @@ def _wsr_bwd(corner, res, ct):
     edge_nbrs = edge_nbrsf.astype(jnp.int32)
     B = pos_clip.shape[0]
     F = tri.shape[0]
-    C = ct.shape[-1]
+    C = ct.shape[1]                                      # ct (B,16,H,W)
     t = jnp.where(ids > 0, ids - 1, F)
     # only the screen-xy channels (0..5) can affect d_pos on this path:
     # z/iw slots are zero and unused, neighbor ids (12..14) only feed
     # comparisons, and the orientation channel's (15) cotangent dies in the
     # table build's stop_gradient
     CA = min(C, 6)
-    ct6 = ct[..., :CA]
+    ct6 = ct[:, :CA]                                     # (B,CA,H,W)
+
+    def dense_table(ct6_, t_):
+        """Per-channel segment-sums: channel-major rows never materialize a
+        trailing-CA layout (CA<<128 lanes pads 21x)."""
+        bidx2 = jnp.arange(B).reshape(B, *([1] * (t_.ndim - 1)))
+        flat = (bidx2 * (F + 1) + t_).reshape(-1)
+        cols = [jax.ops.segment_sum(ct6_[:, j].reshape(-1), flat,
+                                    num_segments=B * (F + 1))
+                for j in range(CA)]
+        return jnp.stack(cols, axis=-1)                  # (B*(F+1),CA)
 
     # AA cotangents live only on silhouette-edge pixels (~0.2% of rows at
     # 512^2) but the pixel->face scatter-add is row-bound — compact active
     # 8x8 subtiles first (static cap + dense fallback on overflow), then
     # segment-sum ~10x fewer rows
-    if ct.ndim == 4 and ct.shape[1] % 8 == 0 and ct.shape[2] % 8 == 0:
-        H, W = ct.shape[1], ct.shape[2]
+    if ct.ndim == 4 and ct.shape[2] % 8 == 0 and ct.shape[3] % 8 == 0:
+        H, W = ct.shape[2], ct.shape[3]
         nsy, nsx = H // 8, W // 8
         ns = nsy * nsx
         # cap = 1/4 of the subtiles: complex multi-sphere silhouettes (GSO
         # Mario) activate ~600-900 of 4096 at 512^2 — a 512 cap flipped the
         # lax.cond to the dense fallback mid-run (10x step regression)
         A = min(ns, max(1024, ns // 4))
-        blk = ct6.reshape(B, nsy, 8, nsx, 8, CA) \
-            .transpose(0, 1, 3, 2, 4, 5).reshape(B, ns, 64, CA)
-        tblk = t.reshape(B, nsy, 8, nsx, 8) \
-            .transpose(0, 1, 3, 2, 4).reshape(B, ns, 64)
-        flag = jnp.any(blk != 0.0, axis=(2, 3))          # (B,ns)
+
+        def blockify(a):                                 # (B,H,W)->(B,ns,64)
+            return a.reshape(B, nsy, 8, nsx, 8).transpose(0, 1, 3, 2, 4) \
+                .reshape(B, ns, 64)
+
+        pany = jnp.any(ct6 != 0.0, axis=1)               # (B,H,W)
+        flag = pany.reshape(B, nsy, 8, nsx, 8).any(axis=(2, 4)) \
+            .reshape(B, ns)
         nact = jnp.sum(flag.astype(jnp.int32), axis=1)   # (B,)
         sidx = jnp.where(flag, jnp.arange(ns, dtype=jnp.int32)[None, :],
                          jnp.int32(ns))
         sidx = jax.lax.sort(sidx, dimension=1, is_stable=False)[:, :A]
         live = sidx < ns                                 # (B,A)
         safe = jnp.minimum(sidx, ns - 1)
-        sub_ct = jnp.take_along_axis(blk, safe[:, :, None, None], axis=1)
-        sub_t = jnp.take_along_axis(tblk, safe[:, :, None], axis=1)
-        sub_t = jnp.where(live[:, :, None], sub_t, F)    # dummy row
+        M = A * 64
+
+        def compact_sub(a):                              # (B,H,W) -> (B,M)
+            return jnp.take_along_axis(blockify(a), safe[:, :, None],
+                                       axis=1).reshape(B, M)
+
+        # per-channel compaction: each pass stays (…,64)-lane shaped (one
+        # (…,64,CA) blockify was the layout-padded hot spot of this VJP)
+        sub_ch = [compact_sub(ct6[:, j]) for j in range(CA)]
+        sub_t = jnp.take_along_axis(blockify(t), safe[:, :, None], axis=1) \
+            .reshape(B, M)
+        sub_t = jnp.where(jnp.broadcast_to(live[:, :, None],
+                                           (B, A, 64)).reshape(B, M),
+                          sub_t, F)                      # dead slots -> dummy
+        pflag = compact_sub(pany.astype(jnp.float32)) > 0  # (B,M)
         # second level: active subtiles are themselves sparse inside (only
         # edge pixels carry cotangents) — compact to active PIXELS before
         # the segment-sum (the scatter costs ~10 ms per million rows no
         # matter how many are zero, so row count is the whole game)
-        M = A * 64
         # cap sized so complex multi-sphere silhouettes (~10-15k active
         # pixels/view at 512^2) never flip the cond's dense fallback —
         # mid-run fallback flips cost 10x (see the subtile cap note above)
         P = max(128, M // 4)
-        pct = sub_ct.reshape(B, M, CA)
-        pt = sub_t.reshape(B, M)
-        pflag = jnp.any(pct != 0.0, axis=-1)             # (B,M)
         npx = jnp.sum(pflag.astype(jnp.int32), axis=1)   # (B,)
         pidx = jnp.where(pflag, jnp.arange(M, dtype=jnp.int32)[None, :],
                          jnp.int32(M))
         pidx = jax.lax.sort(pidx, dimension=1, is_stable=False)[:, :P]
         plive = pidx < M
         psafe = jnp.minimum(pidx, M - 1)
-        px_ct = jnp.take_along_axis(pct, psafe[:, :, None], axis=1)
+        px_ct = jnp.stack([jnp.take_along_axis(s, psafe, axis=1)
+                           for s in sub_ch], axis=-1)    # (B,P,CA) small
         px_t = jnp.where(plive,
-                         jnp.take_along_axis(pt, psafe, axis=1), F)
+                         jnp.take_along_axis(sub_t, psafe, axis=1), F)
         bidx = jnp.arange(B).reshape(B, 1)
 
         def compact(_):
@@ -507,21 +529,11 @@ def _wsr_bwd(corner, res, ct):
             return jax.ops.segment_sum(px_ct.reshape(-1, CA), flat_p,
                                        num_segments=B * (F + 1))
 
-        def dense(_):
-            bidx2 = jnp.arange(B).reshape(B, 1, 1)
-            flat = (bidx2 * (F + 1) + t).reshape(-1)
-            return jax.ops.segment_sum(ct6.reshape(-1, CA), flat,
-                                       num_segments=B * (F + 1))
-
         d_act = jax.lax.cond(jnp.any(nact > A) | jnp.any(npx > P),
-                             dense, compact,
+                             lambda _: dense_table(ct6, t), compact,
                              operand=None).reshape(B, F + 1, CA)
     else:
-        bidx = jnp.arange(B).reshape(B, *([1] * (ids.ndim - 1)))
-        flat = (bidx * (F + 1) + t).reshape(-1)
-        d_act = jax.ops.segment_sum(ct6.reshape(-1, CA), flat,
-                                    num_segments=B * (F + 1)) \
-            .reshape(B, F + 1, CA)
+        d_act = dense_table(ct6, t).reshape(B, F + 1, CA)
 
     d_tbl = jnp.concatenate(
         [d_act, jnp.zeros((B, F + 1, C - CA), d_act.dtype)], axis=-1)
@@ -537,12 +549,13 @@ _winner_screen_rows_f.defvjp(_wsr_fwd, _wsr_bwd)
 
 def winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel, corner):
     """Differentiable per-pixel winner rows whose VALUE comes from the
-    visibility kernel (g_kernel, stop-grad) instead of a per-pixel gather —
-    TPU row gathers are the forward hot spot. Matches
-    _gather_tri_screen(pos_clip, tri, ids, edge_nbrs, corner) on the AA
-    channels (xy, neighbor ids, orientation; z/iw slots are zero). The VJP
-    is the true one: scatter pixel cotangents to the per-face table, then
-    backprop the (cheap, F-sized) table build.
+    visibility kernel (g_kernel (B,16,H,W) channel-major, stop-grad)
+    instead of a per-pixel gather — TPU row gathers are the forward hot
+    spot. Matches _gather_tri_screen(pos_clip, tri, ids, edge_nbrs,
+    corner) transposed to (B,16,H,W) on the AA channels (xy, neighbor ids,
+    orientation; z/iw slots are zero). The VJP is the true one: scatter
+    pixel cotangents to the per-face table, then backprop the (cheap,
+    F-sized) table build.
 
     Index arrays travel as floats (exact below 2^24) — custom_vjp forbids
     tracers in nondiff_argnums and integer primals need float0 cotangents.
@@ -663,8 +676,9 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
 
     On the Pallas path the kernel emits the per-pixel winner rows directly
     (no row gather in the forward); gradients are reattached via
-    winner_screen_rows' custom VJP. Returns (rast, g) — g is None on
-    non-kernel paths (antialias then gathers as usual).
+    winner_screen_rows' custom VJP. Returns (rast, g) — g is channel-major
+    (B,16,H,W), or None on non-kernel paths (antialias then gathers as
+    usual).
     """
     H, W = resolution
     aligned = H % 8 == 0 and W % 128 == 0
@@ -734,8 +748,9 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
     of saving intermediate traffic.
 
     a/b are the two pixels of each pair; p* are their NDC centers (…,2);
-    g_* are per-pixel 16-channel winner rows (_gather_tri_screen with
-    edge_nbrs): xy (6), z/iw (6), edge-neighbor ids (3), area sign (1).
+    g_* are per-pixel 16-channel winner rows, CHANNEL-MAJOR (B,16,h,w)
+    (_gather_tri_screen layout transposed): xy (6), z/iw (6),
+    edge-neighbor ids (3), area sign (1).
     Returns (delta_a, delta_b) to add to the respective pixel colors.
     """
     differ = (id_a != id_b) & ((id_a > 0) | (id_b > 0))
@@ -744,45 +759,53 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
     owner_a = jnp.where(id_a == 0, False,
                         jnp.where(id_b == 0, True, z_a <= z_b))
     other_tri = jnp.where(owner_a, id_b, id_a) - 1       # (…) int32 tri index
-    g = jnp.where(owner_a[..., None], g_a, g_b)          # (…,16) owner row
 
+    # Everything below stays (…)-shaped per-edge SCALARS: stacking the 3
+    # edges into trailing-3 arrays (or selecting a whole trailing-16 owner
+    # row at once) puts 3/16 in the lane dimension and pads the layout
+    # 42x/8x — the chain then runs on mostly-empty vectors. Channel-major
+    # g keeps each g[:, j] slice a full (…,W)-lane array.
+    def oc(j):                                           # owner channel j
+        return jnp.where(owner_a, g_a[:, j], g_b[:, j])
+
+    vx0, vx1, vx2 = oc(0), oc(1), oc(2)
+    vy0, vy1, vy2 = oc(3), oc(4), oc(5)
     # inside-positive edge functions at both pixel centers (sign-corrected
     # by the precomputed per-face orientation, channel 15)
-    sgn = g[..., 15]
+    sgn = oc(15)
+    pax, pay = pa[..., 0], pa[..., 1]
+    pbx, pby = pb[..., 0], pb[..., 1]
 
-    def edge_vals(j0, j1, X):
-        return _edge(g[..., j0], g[..., 3 + j0], g[..., j1], g[..., 3 + j1],
-                     X[..., 0], X[..., 1]) * sgn
+    def edge_vals(x0, y0, x1, y1, X, Y):
+        return _edge(x0, y0, x1, y1, X, Y) * sgn
 
     # edge slots match triangle_edge_neighbors: (0,1), (1,2), (2,0)
-    sa = jnp.stack([edge_vals(0, 1, pa), edge_vals(1, 2, pa),
-                    edge_vals(2, 0, pa)], axis=-1)       # (…,3)
-    sb = jnp.stack([edge_vals(0, 1, pb), edge_vals(1, 2, pb),
-                    edge_vals(2, 0, pb)], axis=-1)
+    def crossing(x0, y0, x1, y1):
+        sa = edge_vals(x0, y0, x1, y1, pax, pay)
+        sb = edge_vals(x0, y0, x1, y1, pbx, pby)
+        denom = sa - sb
+        safe = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+        t_all = sa / safe                                # crossing a->b
+        # owner at A: coverage [0, t]; exit crossing needs sa>=0>sb
+        # owner at B: coverage [t, 1]; entry crossing needs sa<0<=sb
+        t_exit = jnp.where((sa >= 0) & (sb < 0), t_all, jnp.inf)
+        t_entry = jnp.where((sa < 0) & (sb >= 0), t_all, -jnp.inf)
+        return t_exit, t_entry
 
-    denom = sa - sb
-    safe = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
-    t_all = sa / safe                                    # crossing param along a->b
+    te0, tn0 = crossing(vx0, vy0, vx1, vy1)
+    te1, tn1 = crossing(vx1, vy1, vx2, vy2)
+    te2, tn2 = crossing(vx2, vy2, vx0, vy0)
 
-    # owner at A: coverage region [0, t]; exit crossing = min over sa>=0>sb
-    cross_exit = (sa >= 0) & (sb < 0)
-    t_exit = jnp.where(cross_exit, t_all, jnp.inf)
-    # owner at B: coverage region [t, 1]; entry crossing = max over sa<0<=sb
-    cross_entry = (sa < 0) & (sb >= 0)
-    t_entry = jnp.where(cross_entry, t_all, -jnp.inf)
-
-    # all axis-3 reductions/selections stay elementwise (argmin +
+    # best-of-3 selections stay elementwise where-chains (argmin +
     # take_along_axis over a size-3 axis lowers to slow TPU gathers)
-    def pick3(v, better):
-        """(value, k) of the best of 3 along the last axis."""
-        v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    def pick3(v0, v1, v2, better):
         k01 = jnp.where(better(v1, v0), 1, 0)
         b01 = jnp.where(better(v1, v0), v1, v0)
         k = jnp.where(better(v2, b01), 2, k01)
         return jnp.where(better(v2, b01), v2, b01), k
 
-    te, k_exit = pick3(t_exit, lambda x, y: x < y)
-    tn, k_entry = pick3(t_entry, lambda x, y: x > y)
+    te, k_exit = pick3(te0, te1, te2, lambda x, y: x < y)
+    tn, k_entry = pick3(tn0, tn1, tn2, lambda x, y: x > y)
 
     k = jnp.where(owner_a, k_exit, k_entry)
     t = jnp.where(owner_a, te, tn)
@@ -792,9 +815,8 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
     # pixel's triangle (interior edges don't blend; background never shares).
     # Neighbor ids ride in the gathered row (channels 12..14) — triangle
     # counts stay far below f32's 2^24 exact-integer range.
-    nbr = jnp.where(k == 0, g[..., 12],
-                    jnp.where(k == 1, g[..., 13], g[..., 14]))
-    shared = (nbr == other_tri.astype(g.dtype)) & (other_tri >= 0) & \
+    nbr = jnp.where(k == 0, oc(12), jnp.where(k == 1, oc(13), oc(14)))
+    shared = (nbr == other_tri.astype(nbr.dtype)) & (other_tri >= 0) & \
              jnp.where(owner_a, id_b > 0, id_a > 0)
 
     valid = differ & found & ~shared
@@ -829,11 +851,13 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     z = rast[..., 2]
 
     if g_precomputed is not None:
-        g = g_precomputed                                # kernel-emitted rows
+        g = g_precomputed                                # kernel rows (B,16,H,W)
     else:
-        g = _gather_tri_screen(pos_clip, tri, ids, edge_nbrs=edge_nbrs,
-                               corner=corner)            # (B,H,W,16); one
-    # row gather carries everything the pair logic needs
+        # one row gather carries everything the pair logic needs; the AA
+        # chain consumes channel-major (B,16,H,W) slices (see _aa_pairs)
+        g = jnp.moveaxis(
+            _gather_tri_screen(pos_clip, tri, ids, edge_nbrs=edge_nbrs,
+                               corner=corner), -1, 1)
 
     row0, full_h = viewport if viewport is not None else (0, None)
     px, py = _pixel_centers((H, W), color.dtype, row0, full_h)
@@ -847,7 +871,7 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     da, db = _aa_pairs(color[:, :, :-1], color[:, :, 1:],
                        ids[:, :, :-1], ids[:, :, 1:],
                        z[:, :, :-1], z[:, :, 1:],
-                       g[:, :, :-1], g[:, :, 1:],
+                       g[:, :, :, :-1], g[:, :, :, 1:],
                        pcent[:, :, :-1], pcent[:, :, 1:])
     out = out + jnp.pad(da, ((0, 0), (0, 0), (0, 1), (0, 0)))
     out = out + jnp.pad(db, ((0, 0), (0, 0), (1, 0), (0, 0)))
@@ -856,7 +880,7 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     da, db = _aa_pairs(color[:, :-1], color[:, 1:],
                        ids[:, :-1], ids[:, 1:],
                        z[:, :-1], z[:, 1:],
-                       g[:, :-1], g[:, 1:],
+                       g[:, :, :-1], g[:, :, 1:],
                        pcent[:, :-1], pcent[:, 1:])
     if row_valid is not None:
         # spatial slabs: vertical pairs whose partner row lies outside the

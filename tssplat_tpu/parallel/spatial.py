@@ -77,8 +77,8 @@ def spatial_silhouette_loss(tet_v, statics, mvp, target_alpha, mesh: Mesh,
         valid = (absr >= 0) & (absr < H)
         vmask = valid.astype(rast.dtype)[None, :, None, None]
         rast = rast * vmask
-        if g is not None:
-            g = g * vmask
+        if g is not None:                                # channel-major
+            g = g * valid.astype(g.dtype)[None, None, :, None]
         alpha = jnp.clip(rast[..., 3:4], 0.0, 1.0)
         a = antialias(alpha, rast, pos_clip, tri_c, statics.edge_nbrs,
                       corner=True, g_precomputed=g, viewport=(row0, H),
