@@ -451,17 +451,13 @@ def _wsr_bwd(corner, res, ct):
     # comparisons, and the orientation channel's (15) cotangent dies in the
     # table build's stop_gradient
     CA = min(C, 6)
-    ct6 = ct[:, :CA]                                     # (B,CA,H,W)
-
-    def dense_table(ct6_, t_):
-        """Per-channel segment-sums: channel-major rows never materialize a
-        trailing-CA layout (CA<<128 lanes pads 21x)."""
-        bidx2 = jnp.arange(B).reshape(B, *([1] * (t_.ndim - 1)))
-        flat = (bidx2 * (F + 1) + t_).reshape(-1)
-        cols = [jax.ops.segment_sum(ct6_[:, j].reshape(-1), flat,
-                                    num_segments=B * (F + 1))
-                for j in range(CA)]
-        return jnp.stack(cols, axis=-1)                  # (B*(F+1),CA)
+    # ct arrives channel-major (the AA chain's fast layout); the compaction
+    # below is built on ROW gathers with a trailing channel dim — convert
+    # once. The barrier forces a single materialization: without it XLA
+    # re-fuses the AA-backward producer chain into each of the ~7 consumers
+    # (flags, compactions, the cond's dense path), ~+9 ms at 8x512^2.
+    ct6 = jax.lax.optimization_barrier(
+        jnp.moveaxis(ct[:, :CA], 1, -1))                 # (B,H,W,CA)
 
     # AA cotangents live only on silhouette-edge pixels (~0.2% of rows at
     # 512^2) but the pixel->face scatter-add is row-bound — compact active
@@ -475,53 +471,41 @@ def _wsr_bwd(corner, res, ct):
         # Mario) activate ~600-900 of 4096 at 512^2 — a 512 cap flipped the
         # lax.cond to the dense fallback mid-run (10x step regression)
         A = min(ns, max(1024, ns // 4))
-
-        def blockify(a):                                 # (B,H,W)->(B,ns,64)
-            return a.reshape(B, nsy, 8, nsx, 8).transpose(0, 1, 3, 2, 4) \
-                .reshape(B, ns, 64)
-
-        pany = jnp.any(ct6 != 0.0, axis=1)               # (B,H,W)
-        flag = pany.reshape(B, nsy, 8, nsx, 8).any(axis=(2, 4)) \
-            .reshape(B, ns)
+        blk = ct6.reshape(B, nsy, 8, nsx, 8, CA) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(B, ns, 64, CA)
+        tblk = t.reshape(B, nsy, 8, nsx, 8) \
+            .transpose(0, 1, 3, 2, 4).reshape(B, ns, 64)
+        flag = jnp.any(blk != 0.0, axis=(2, 3))          # (B,ns)
         nact = jnp.sum(flag.astype(jnp.int32), axis=1)   # (B,)
         sidx = jnp.where(flag, jnp.arange(ns, dtype=jnp.int32)[None, :],
                          jnp.int32(ns))
         sidx = jax.lax.sort(sidx, dimension=1, is_stable=False)[:, :A]
         live = sidx < ns                                 # (B,A)
         safe = jnp.minimum(sidx, ns - 1)
-        M = A * 64
-
-        def compact_sub(a):                              # (B,H,W) -> (B,M)
-            return jnp.take_along_axis(blockify(a), safe[:, :, None],
-                                       axis=1).reshape(B, M)
-
-        # per-channel compaction: each pass stays (…,64)-lane shaped (one
-        # (…,64,CA) blockify was the layout-padded hot spot of this VJP)
-        sub_ch = [compact_sub(ct6[:, j]) for j in range(CA)]
-        sub_t = jnp.take_along_axis(blockify(t), safe[:, :, None], axis=1) \
-            .reshape(B, M)
-        sub_t = jnp.where(jnp.broadcast_to(live[:, :, None],
-                                           (B, A, 64)).reshape(B, M),
-                          sub_t, F)                      # dead slots -> dummy
-        pflag = compact_sub(pany.astype(jnp.float32)) > 0  # (B,M)
+        sub_ct = jnp.take_along_axis(blk, safe[:, :, None, None], axis=1)
+        sub_t = jnp.take_along_axis(tblk, safe[:, :, None], axis=1)
+        sub_t = jnp.where(live[:, :, None], sub_t, F)    # dummy row
         # second level: active subtiles are themselves sparse inside (only
         # edge pixels carry cotangents) — compact to active PIXELS before
         # the segment-sum (the scatter costs ~10 ms per million rows no
         # matter how many are zero, so row count is the whole game)
+        M = A * 64
         # cap sized so complex multi-sphere silhouettes (~10-15k active
         # pixels/view at 512^2) never flip the cond's dense fallback —
         # mid-run fallback flips cost 10x (see the subtile cap note above)
         P = max(128, M // 4)
+        pct = sub_ct.reshape(B, M, CA)
+        pt = sub_t.reshape(B, M)
+        pflag = jnp.any(pct != 0.0, axis=-1)             # (B,M)
         npx = jnp.sum(pflag.astype(jnp.int32), axis=1)   # (B,)
         pidx = jnp.where(pflag, jnp.arange(M, dtype=jnp.int32)[None, :],
                          jnp.int32(M))
         pidx = jax.lax.sort(pidx, dimension=1, is_stable=False)[:, :P]
         plive = pidx < M
         psafe = jnp.minimum(pidx, M - 1)
-        px_ct = jnp.stack([jnp.take_along_axis(s, psafe, axis=1)
-                           for s in sub_ch], axis=-1)    # (B,P,CA) small
+        px_ct = jnp.take_along_axis(pct, psafe[:, :, None], axis=1)
         px_t = jnp.where(plive,
-                         jnp.take_along_axis(sub_t, psafe, axis=1), F)
+                         jnp.take_along_axis(pt, psafe, axis=1), F)
         bidx = jnp.arange(B).reshape(B, 1)
 
         def compact(_):
@@ -529,11 +513,21 @@ def _wsr_bwd(corner, res, ct):
             return jax.ops.segment_sum(px_ct.reshape(-1, CA), flat_p,
                                        num_segments=B * (F + 1))
 
+        def dense(_):
+            bidx2 = jnp.arange(B).reshape(B, 1, 1)
+            flat = (bidx2 * (F + 1) + t).reshape(-1)
+            return jax.ops.segment_sum(ct6.reshape(-1, CA), flat,
+                                       num_segments=B * (F + 1))
+
         d_act = jax.lax.cond(jnp.any(nact > A) | jnp.any(npx > P),
-                             lambda _: dense_table(ct6, t), compact,
+                             dense, compact,
                              operand=None).reshape(B, F + 1, CA)
     else:
-        d_act = dense_table(ct6, t).reshape(B, F + 1, CA)
+        bidx = jnp.arange(B).reshape(B, *([1] * (t.ndim - 1)))
+        flat = (bidx * (F + 1) + t).reshape(-1)
+        d_act = jax.ops.segment_sum(ct6.reshape(-1, CA), flat,
+                                    num_segments=B * (F + 1)) \
+            .reshape(B, F + 1, CA)
 
     d_tbl = jnp.concatenate(
         [d_act, jnp.zeros((B, F + 1, C - CA), d_act.dtype)], axis=-1)
