@@ -85,7 +85,17 @@ def main():
         # against the RGB targets (reference trainer.py:44-48,101-103);
         # BENCH_TEX_SAMPLE > 0 benches the stochastic pixel-sampled path
         from tssplat_tpu.materials import ExplicitMaterial
-        material = ExplicitMaterial({})
+        mat_cfg = {}
+        if int(os.environ.get("BENCH_TEX_STOCH", 0)):
+            # stochastic hash-grid table gradient (sampled path production
+            # option): one corner per (sample, level) in the backward
+            mat_cfg = {"pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 16,
+                "n_features_per_level": 2, "log2_hashmap_size": 19,
+                "base_resolution": 16,
+                "per_level_scale": 1.447269237440378,
+                "stochastic_table_grad": True}}
+        material = ExplicitMaterial(mat_cfg)
         material_fn = material.apply_fn
         params = material.params
         init_fn, update_fn = adam_uniform(

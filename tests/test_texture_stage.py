@@ -310,3 +310,86 @@ def test_sampled_texture_loss_trains(tex_root):
                                     jnp.asarray(sv, jnp.float32), 0))
     err0 = np.abs(pred0 - tgt).mean()
     assert err < 0.6 * err0, (err, err0)
+
+
+def test_stochastic_table_grad_unbiased_and_trains(tex_root):
+    """stochastic_table_grad: the one-corner-per-level importance-sampled
+    hash-table gradient (networks.py) averages to the exact 8-corner
+    gradient, and the sampled-texture trainer converges with it on."""
+    import jax
+    from tssplat_tpu.models.networks import hash_grid_encoding
+
+    enc = hash_grid_encoding(3, n_levels=3, n_features_per_level=2,
+                             log2_hashmap_size=8, base_resolution=4,
+                             per_level_scale=1.7,
+                             stochastic_table_grad=True)
+    params = enc.init_fn(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+
+    def loss(p, gk=None):
+        y = enc.apply_fn(p, x, grad_key=gk)
+        return jnp.sum(jnp.sin(3.0 * y) * jnp.arange(y.shape[-1]))
+
+    g_exact = jax.grad(loss)(params)["table"]
+    gf = jax.jit(lambda k: jax.grad(loss)(params, gk=k)["table"])
+    acc = np.zeros_like(np.asarray(g_exact))
+    K = 400
+    for i in range(K):
+        acc += np.asarray(gf(jax.random.PRNGKey(100 + i)))
+    acc /= K
+    # unbiased: Monte-Carlo mean approaches the exact gradient
+    denom = np.abs(np.asarray(g_exact)).max()
+    assert np.abs(acc - np.asarray(g_exact)).max() / denom < 0.15
+    # the value (forward) is exact regardless of the key
+    v0 = float(loss(params))
+    v1 = float(loss(params, gk=jax.random.PRNGKey(5)))
+    assert v0 == v1
+
+    # end-to-end: the sampled texture stage trains with the stochastic
+    # gradient enabled
+    iters = 200
+    out = os.path.join(str(tex_root), "out_stoch")
+    cfg = ConfigDict({
+        "fitting_stage": "texture",
+        "geometry_type": "TetMeshMultiSphereGeometry",
+        "geometry": {
+            "use_smooth_barrier": False,
+            "initial_mesh_path": os.path.join(str(tex_root), "geo", "final"),
+            "output_path": out,
+        },
+        "material_type": "ExplicitMaterial",
+        "material": {
+            "n_output_dims": 3,
+            "material_activation": "sigmoid",
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 8,
+                "n_features_per_level": 2, "log2_hashmap_size": 13,
+                "base_resolution": 4, "per_level_scale": 1.5,
+                "stochastic_table_grad": True},
+        },
+        "dataloader_type": "MistubaImgDataLoader",
+        "data": {"dataset_config": {
+            "image_root": os.path.join(str(tex_root), "img")},
+            "world_size": 1, "rank": 0, "batch_size": N_VIEWS,
+            "total_num_iter": iters},
+        "renderer": {"context_type": "tpu", "is_orhto": False},
+        "optimizer": {"lr": 0.03, "grad_limit": False},
+        "output_path": out,
+        "total_num_iter": iters,
+        "texture_sample_px": 512,
+        "use_permute_surface_v": False,
+        "log_every": 1000, "export_every": 100000,
+    })
+    state, geometry = train(cfg)
+    assert np.isfinite(float(state.best_loss))
+    from tssplat_tpu.materials import ExplicitMaterial
+    mat = ExplicitMaterial(cfg.material)
+    sv = np.asarray(geometry.tetmesh.vtx)[geometry.tetmesh.surface_vid]
+    pred = np.asarray(mat.apply_fn(state.params,
+                                   jnp.asarray(sv, jnp.float32), iters))
+    tgt = np.clip(sv / 0.6 + 0.5, 0, 1)
+    err = np.abs(pred - tgt).mean()
+    pred0 = np.asarray(mat.apply_fn(mat.params,
+                                    jnp.asarray(sv, jnp.float32), 0))
+    err0 = np.abs(pred0 - tgt).mean()
+    assert err < 0.6 * err0, (err, err0)

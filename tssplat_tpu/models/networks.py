@@ -105,13 +105,23 @@ def hash_grid_encoding(n_input_dims: int = 3, n_levels: int = 16,
                        n_features_per_level: int = 2,
                        log2_hashmap_size: int = 19, base_resolution: int = 16,
                        per_level_scale: float = 1.447269237440378,
-                       init_scale: float = 1e-4) -> Module:
+                       init_scale: float = 1e-4,
+                       stochastic_table_grad: bool = False) -> Module:
     """Multi-resolution hash-grid encoding (InstantNGP; the reference uses
     tiny-cuda-nn's with these defaults, materials/explicit_material.py:38-46).
 
     Input in [0,1]^3; output (…, n_levels*n_features_per_level). Levels whose
     dense grid fits in the table are indexed densely (collision-free), larger
     ones via spatial hashing — tiny-cuda-nn semantics.
+
+    ``stochastic_table_grad`` + a ``grad_key`` kwarg at apply time switch
+    the TABLE gradient to a one-corner-per-level importance sample: the
+    trilinear weights of a point sum to 1, so scattering the unscaled
+    feature cotangent at corner c drawn with p(c)=w_c is an unbiased
+    estimator of the exact 8-corner gradient with 8x fewer scatter rows —
+    TPU scatter-add costs ~70 ns/row no matter how the ops are fused, and
+    the exact sampled-texture backward is scatter-bound. The forward (and
+    the position gradient) stay exact.
     """
     assert n_input_dims == 3, "hash grid implemented for 3-D inputs"
     H = 1 << log2_hashmap_size
@@ -119,32 +129,92 @@ def hash_grid_encoding(n_input_dims: int = 3, n_levels: int = 16,
            for l in range(n_levels)]
     dense = [(r + 1) ** 3 <= H for r in res]
     F = n_features_per_level
+    L = n_levels
 
     def init_fn(key):
         return {"table": jax.random.uniform(
             key, (n_levels * H, F), jnp.float32, -init_scale, init_scale)}
 
-    def apply_fn(params, x, step=None):
-        table = params["table"]
-        outs = []
-        for l in range(n_levels):
+    def _level_setup(x, l):
+        r = res[l]
+        xl = x * r                                         # [0, r]
+        i0 = jnp.floor(xl).astype(jnp.int32)
+        i0 = jnp.clip(i0, 0, r - 1)
+        return i0, xl - i0                                 # int corner, frac
+
+    def _corner_idx(i0, corner, l):
+        c = i0 + corner                                    # (…,3)
+        if dense[l]:
             r = res[l]
-            xl = x * r                                     # [0, r]
-            i0 = jnp.floor(xl).astype(jnp.int32)
-            i0 = jnp.clip(i0, 0, r - 1)
-            w = xl - i0                                    # (…,3)
+            idx = (c[..., 0] * (r + 1) + c[..., 1]) * (r + 1) + c[..., 2]
+        else:
+            idx = _hash_coords(c, H)
+        return idx + l * H
+
+    def _exact(table, x):
+        outs = []
+        for l in range(L):
+            i0, w = _level_setup(x, l)
             feats = 0.0
             for corner in _CORNERS:
-                c = i0 + corner                            # (…,3)
-                if dense[l]:
-                    idx = (c[..., 0] * (r + 1) + c[..., 1]) * (r + 1) + c[..., 2]
-                else:
-                    idx = _hash_coords(c, H)
                 wc = jnp.prod(jnp.where(corner.astype(bool), w, 1.0 - w),
                               axis=-1)                     # (…,)
-                feats = feats + table[l * H + idx] * wc[..., None]
+                feats = feats + table[_corner_idx(i0, corner, l)] \
+                    * wc[..., None]
             outs.append(feats)
         return jnp.concatenate(outs, axis=-1)
+
+    @jax.custom_vjp
+    def _enc_sg(table, x, u):
+        del u
+        return _exact(table, x)
+
+    def _enc_sg_fwd(table, x, u):
+        return _exact(table, x), (table, x, u)
+
+    def _enc_sg_bwd(resid, d_out):
+        table, x, u = resid
+        N = x.shape[:-1]
+        d_feats = d_out.reshape(*N, L, F)
+        idx_lv, val_lv = [], []
+        for l in range(L):
+            i0, w = _level_setup(x, l)
+            # draw corner csel with p = trilinear weight via the cumulative
+            # where-chain (elementwise; a take_along_axis over the 8-corner
+            # axis would lower to a slow TPU gather)
+            acc = jnp.zeros(N, x.dtype)
+            csel = jnp.full(N, 7, jnp.int32)
+            ul = u[..., l]
+            for ci in range(7):                            # corner 7 = rest
+                corner = _CORNERS[ci]
+                wc = jnp.prod(jnp.where(corner.astype(bool), w, 1.0 - w),
+                              axis=-1)
+                hit = (ul >= acc) & (ul < acc + wc) & (csel == 7)
+                csel = jnp.where(hit, ci, csel)
+                acc = acc + wc
+            # _CORNERS row i is the bit pattern (i>>2, i>>1, i) & 1
+            corner_sel = jnp.stack([(csel >> 2) & 1, (csel >> 1) & 1,
+                                    csel & 1], axis=-1)
+            idx_lv.append(_corner_idx(i0, corner_sel, l))  # (…,)
+            val_lv.append(d_feats[..., l, :])              # (…,F)
+        flat_idx = jnp.stack(idx_lv, axis=-1).reshape(-1)  # (N*L,)
+        flat_val = jnp.stack(val_lv, axis=-2).reshape(-1, F)
+        d_table = jax.ops.segment_sum(flat_val, flat_idx,
+                                      num_segments=L * H)
+        # exact position gradient (XLA DCEs this whole subgraph when the
+        # positions are stop-gradient upstream, e.g. the frozen-geometry
+        # texture stage)
+        _, vjp = jax.vjp(lambda xx: _exact(table, xx), x)
+        (d_x,) = vjp(d_out)
+        return d_table, d_x, jnp.zeros_like(u)
+
+    _enc_sg.defvjp(_enc_sg_fwd, _enc_sg_bwd)
+
+    def apply_fn(params, x, step=None, grad_key=None):
+        if stochastic_table_grad and grad_key is not None:
+            u = jax.random.uniform(grad_key, (*x.shape[:-1], L))
+            return _enc_sg(params["table"], x, u)
+        return _exact(params["table"], x)
 
     return Module(init_fn, apply_fn, n_levels * F, n_input_dims)
 
@@ -159,8 +229,8 @@ def progressive_band_hash_grid(n_input_dims: int = 3, start_level: int = 4,
     n_levels = kwargs.get("n_levels", 16)
     F = kwargs.get("n_features_per_level", 2)
 
-    def apply_fn(params, x, step=0):
-        feats = grid.apply_fn(params, x)
+    def apply_fn(params, x, step=0, grad_key=None):
+        feats = grid.apply_fn(params, x, grad_key=grad_key)
         step = jnp.asarray(step)
         current = start_level + jnp.maximum(step - start_step, 0) // update_steps
         mask = (jnp.arange(n_levels) < current)
@@ -182,7 +252,7 @@ def frequency_encoding(n_input_dims: int, n_frequencies: int = 10,
     def init_fn(key):
         return {}
 
-    def apply_fn(params, x, step=0):
+    def apply_fn(params, x, step=0, grad_key=None):
         xs = x[..., None] * freqs                          # (…,D,Nf)
         enc = jnp.stack([jnp.sin(xs), jnp.cos(xs)], axis=-1)  # (…,D,Nf,2)
         if n_masking_step > 0:
@@ -202,9 +272,10 @@ def composite_encoding(enc: Module, include_xyz: bool = False,
     if not include_xyz:
         return enc
 
-    def apply_fn(params, x, step=0):
+    def apply_fn(params, x, step=0, grad_key=None):
         return jnp.concatenate([x * xyz_scale + xyz_offset,
-                                enc.apply_fn(params, x, step)], axis=-1)
+                                enc.apply_fn(params, x, step,
+                                             grad_key=grad_key)], axis=-1)
 
     return Module(enc.init_fn, apply_fn, enc.n_output_dims + enc.n_input_dims,
                   enc.n_input_dims)
@@ -235,7 +306,7 @@ def get_encoding(n_input_dims: int, config: dict) -> Module:
 
 def _grid_kwargs(cfg: dict) -> dict:
     keys = ("n_levels", "n_features_per_level", "log2_hashmap_size",
-            "base_resolution", "per_level_scale")
+            "base_resolution", "per_level_scale", "stochastic_table_grad")
     return {k: cfg[k] for k in keys if k in cfg}
 
 

@@ -95,8 +95,8 @@ def _vis_kernel(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
     init = (jnp.full((tile_h, tile_w), _INF, jnp.float32),
             jnp.zeros((tile_h, tile_w), jnp.int32))
     best_z, best_id = jax.lax.fori_loop(0, count, body, init)
-    out_ref[0, 0] = best_id
-    zout_ref[0, 0] = jnp.where(best_id > 0, best_z, 0.0)
+    out_ref[0] = best_id
+    zout_ref[0] = jnp.where(best_id > 0, best_z, 0.0)
 
 
 def _vis_kernel_g(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
@@ -167,17 +167,17 @@ def _vis_kernel_g(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
             tuple(zero for _ in range(10)))
     best_z, best_id, chans = jax.lax.fori_loop(0, count, body, init)
     fg = best_id > 0
-    out_ref[0, 0] = best_id
-    zout_ref[0, 0] = jnp.where(fg, best_z, 0.0)
+    out_ref[0] = best_id
+    zout_ref[0] = jnp.where(fg, best_z, 0.0)
     fgf = fg.astype(jnp.float32)
     for j in range(6):                   # ax,bx,cx,ay,by,cy
-        g_ref[0, 0, j] = chans[j] * fgf
+        g_ref[0, j] = chans[j] * fgf
     for j in range(6, 12):               # unused z/iw slots
-        g_ref[0, 0, j] = zero
-    g_ref[0, 0, 12] = chans[6] * fgf
-    g_ref[0, 0, 13] = chans[7] * fgf
-    g_ref[0, 0, 14] = chans[8] * fgf
-    g_ref[0, 0, 15] = chans[9] * fgf
+        g_ref[0, j] = zero
+    g_ref[0, 12] = chans[6] * fgf
+    g_ref[0, 13] = chans[7] * fgf
+    g_ref[0, 14] = chans[8] * fgf
+    g_ref[0, 15] = chans[9] * fgf
 
 
 def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
@@ -255,20 +255,20 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
     res = jax.lax.fori_loop(0, count, body, init)
     best_z, best_id = res[0], res[1]
     fg = best_id > 0
-    out_refs[0][0, 0] = best_id
-    out_refs[1][0, 0] = jnp.where(fg, best_z, 0.0)
+    out_refs[0][0] = best_id
+    out_refs[1][0] = jnp.where(fg, best_z, 0.0)
     if emit_g:
         chans = res[2]
         g_ref = out_refs[2]
         fgf = fg.astype(jnp.float32)
         for j in range(6):                   # ax,bx,cx,ay,by,cy
-            g_ref[0, 0, j] = chans[j] * fgf
+            g_ref[0, j] = chans[j] * fgf
         for j in range(6, 12):               # unused z/iw slots
-            g_ref[0, 0, j] = zero
-        g_ref[0, 0, 12] = chans[6] * fgf
-        g_ref[0, 0, 13] = chans[7] * fgf
-        g_ref[0, 0, 14] = chans[8] * fgf
-        g_ref[0, 0, 15] = chans[9] * fgf
+            g_ref[0, j] = zero
+        g_ref[0, 12] = chans[6] * fgf
+        g_ref[0, 13] = chans[7] * fgf
+        g_ref[0, 14] = chans[8] * fgf
+        g_ref[0, 15] = chans[9] * fgf
 
 
 def _tile_range(lo, hi, tile_px, ntiles_axis):
@@ -549,19 +549,22 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     flat_mode = shared_tbl and \
         ((F + 1) * R + L + pool_cap) * 4 <= _SMEM_TBL_BUDGET
 
-    out_shapes = [jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
-                                       jnp.int32),
-                  jax.ShapeDtypeStruct((B, ntiles, tile_h, tile_w),
-                                       jnp.float32)]
-    tile_spec = pl.BlockSpec((1, 1, tile_h, tile_w),
-                             lambda b, t, *_: (b, t, 0, 0),
+    # outputs are written in FINAL layout — the tile grid maps straight to
+    # (row-block, col-block) of (B,H,W) / channel-major (B,16,H,W), so no
+    # detile/transpose pass exists downstream (the (B,ntiles,16,th,tw) ->
+    # (B,16,H,W) transpose alone moved 2x128 MB, ~1.2 ms/step)
+    out_shapes = [jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+                  jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
+    tile_spec = pl.BlockSpec((1, tile_h, tile_w),
+                             lambda b, t, *_: (b, t // ntx, t % ntx),
                              memory_space=pltpu.VMEM)
     out_specs = [tile_spec, tile_spec]
     if with_g is not None:
         out_shapes.append(jax.ShapeDtypeStruct(
-            (B, ntiles, 16, tile_h, tile_w), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, 16, tile_h, tile_w),
-                                      lambda b, t, *_: (b, t, 0, 0, 0),
+            (B, 16, H, W), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 16, tile_h, tile_w),
+                                      lambda b, t, *_: (b, 0, t // ntx,
+                                                        t % ntx),
                                       memory_space=pltpu.VMEM))
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
 
@@ -638,20 +641,13 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
             interpret=interpret,
         )(counts.reshape(-1), row0_arr, data_arg, ids)
 
-    def detile(a):
-        return a.reshape(B, nty, ntx, tile_h, tile_w) \
-            .transpose(0, 1, 3, 2, 4).reshape(B, H, W)
-
     if with_g is not None:
+        # g is channel-MAJOR (B,16,H,W): a single channel slice g[:, j]
+        # keeps W on the VPU lane axis; the row-major (B,H,W,16) layout put
+        # 16 in lanes and padded every AA-chain intermediate 8x
         out, zout, g = results
-        # channel-MAJOR (B,16,H,W): a single channel slice g[:, j] keeps W
-        # on the VPU lane axis; the row-major (B,H,W,16) layout put 16 in
-        # lanes and padded every AA-chain intermediate 8x (measured 2x on
-        # the whole AA fwd+bwd)
-        g = g.reshape(B, nty, ntx, 16, tile_h, tile_w) \
-            .transpose(0, 3, 1, 4, 2, 5).reshape(B, 16, H, W)
-        return detile(out), detile(zout), g
+        return out, zout, g
     out, zout = results
     if with_z:
-        return detile(out), detile(zout)
-    return detile(out)
+        return out, zout
+    return out
