@@ -102,10 +102,19 @@ def main():
             cosine_annealing_lr(0.01, 1500))
     else:
         params = jnp.array(geo.tet_v)
+    tex_cache = None
+    if stage == "texture" and sample_px \
+            and int(os.environ.get("BENCH_TEX_CACHE", 1)):
+        from tssplat_tpu.train import build_texture_sample_cache
+        tex_cache = build_texture_sample_cache(
+            geo.statics, jnp.array(geo.tet_v), batch["mvp"], batch["img"],
+            res)
+        batch["view_idx"] = jnp.arange(n_views, dtype=jnp.int32)
     step = make_train_step(geo.statics, update_fn, fitting_stage=stage,
                            resolution=res, fit_depth=False, is_ortho=False,
                            view_chunk=view_chunk, material_fn=material_fn,
                            texture_sample_px=sample_px,
+                           texture_cache=tex_cache,
                            tet_v_frozen=jnp.array(geo.tet_v))
     state = TrainState(params=params, opt_state=init_fn(params),
                        best_loss=jnp.asarray(jnp.inf, jnp.float32),

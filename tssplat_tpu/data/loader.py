@@ -121,6 +121,9 @@ class ViewDataLoader:
             "background": d["background"][ids],
             "n": d["n"][ids],
             "d": d["d"][ids],
+            # dataset-view indices of this batch: per-view precomputed
+            # caches (frozen-geometry texture stage) index by these
+            "view_idx": jnp.asarray(ids, jnp.int32),
         }
 
 

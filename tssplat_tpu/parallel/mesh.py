@@ -24,7 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 VIEW_AXIS = "view"
 
 # batch entries carrying a leading per-view dimension
-_VIEW_KEYS = ("mvp", "mv", "campos", "img", "background", "n", "d")
+_VIEW_KEYS = ("mvp", "mv", "campos", "img", "background", "n", "d",
+               "view_idx")
 
 
 def make_device_mesh(n_devices: Optional[int] = None,

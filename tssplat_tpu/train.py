@@ -52,12 +52,64 @@ class TrainState(NamedTuple):
     best_params: any
 
 
+def build_texture_sample_cache(statics, tet_v, mvp, img, resolution: int,
+                               is_ortho: bool = False,
+                               tile_k: Optional[int] = None):
+    """Frozen-geometry visibility cache for the sampled texture stage.
+
+    The texture stage never moves the geometry, yet the sampled loss was
+    re-rasterizing + interpolating full (B,H,W,3) positions + top_k-ing
+    every step (~26 ms of a ~290 ms step). Rasterize each dataset view
+    ONCE, compact the foreground pixels, and store their world positions +
+    composited GT colors; the step then just gathers random rows.
+
+    Returns {"positions" (n,P,3) f32, "gt" (n,P,3) f32, "count" (n,) i32}
+    with P = max foreground count over views (dead rows repeat row 0).
+    """
+    from .ops.transform import transform_pos
+    from .ops.rasterize import rasterize, interpolate
+
+    n = mvp.shape[0]
+    res = int(resolution)
+    F = statics.surface_fid.shape[0]
+    tri_c = jnp.arange(3 * F, dtype=jnp.int32).reshape(F, 3)
+    v_corner = tet_v[statics.corner_vid]
+
+    @jax.jit
+    def one_view(m, im):
+        pc = transform_pos(m[None], v_corner, is_ortho=is_ortho)
+        rast = rasterize(pc, tri_c, (res, res), corner=True, k=tile_k)
+        pos = interpolate(v_corner, rast, tri_c, corner=True)[0]  # (H,W,3)
+        fg = rast[0, ..., 3] > 0                                  # (H,W)
+        flat = fg.reshape(-1)
+        cnt = jnp.sum(flat.astype(jnp.int32))
+        order = jnp.where(flat, jnp.arange(res * res, dtype=jnp.int32),
+                          jnp.int32(res * res))
+        order = jax.lax.sort(order, is_stable=False)
+        safe = jnp.minimum(order, res * res - 1)
+        pos_c = pos.reshape(-1, 3)[safe]
+        gt_c = im.reshape(-1, im.shape[-1])[safe, :3]
+        return pos_c, gt_c, cnt
+
+    pos_l, gt_l, cnt_l = [], [], []
+    for i in range(n):
+        p, g, c = one_view(mvp[i], img[i])
+        pos_l.append(p)
+        gt_l.append(g)
+        cnt_l.append(c)
+    cnt = jnp.stack(cnt_l)
+    P = max(1, int(jnp.max(cnt)))
+    positions = jnp.stack([p[:P] for p in pos_l])
+    gt = jnp.stack([g[:P] for g in gt_l])
+    return {"positions": positions, "gt": gt, "count": cnt}
+
+
 def make_train_step(statics, update_fn, *, fitting_stage: str,
                     resolution: int, fit_depth: bool, is_ortho: bool,
                     fit_normal: bool = False, normal_weight: float = 10.0,
                     material_fn=None, tet_v_frozen=None,
                     view_chunk: int = 0, tile_k: Optional[int] = None,
-                    texture_sample_px: int = 0,
+                    texture_sample_px: int = 0, texture_cache=None,
                     batch_sharding=None, replicated_sharding=None):
     """Build the jitted train step. Static choices (stage, depth on/off,
     resolution) bake into the compiled program; iteration number is traced.
@@ -100,7 +152,8 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
                 (out.normal * a - batch["n"][..., :3] * a) ** 2)
         return img_loss, out.geo_regularization
 
-    _VIEW_KEYS = ("mvp", "mv", "campos", "img", "background", "n", "d")
+    _VIEW_KEYS = ("mvp", "mv", "campos", "img", "background", "n", "d",
+                  "view_idx")
 
     def _sampled_texture_loss(mat_params, batch, it):
         """Stochastic texture loss: L1 on ``texture_sample_px`` random
@@ -112,35 +165,53 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
         it SGD over pixels. Semantics differ from the reference's
         full-image L1 (no antialias term, foreground only) — off by
         default (`texture_sample_px: 0`)."""
-        from .ops.rasterize import interpolate
-        from .render.pipeline import GeometryStatics  # noqa: F401
-        from .ops.transform import transform_pos
-        from .ops.rasterize import rasterize
-
-        tet_v = tet_v_frozen
-        mvp = batch["mvp"]
-        B = mvp.shape[0]
-        res = int(resolution)
-        F = statics.surface_fid.shape[0]
-        v_corner = tet_v[statics.corner_vid]
-        tri_c = jnp.arange(3 * F, dtype=jnp.int32).reshape(F, 3)
-        pos_clip = transform_pos(mvp, v_corner, is_ortho=is_ortho)
-        rast = rasterize(pos_clip, tri_c, (res, res), corner=True,
-                         k=tile_k)
-        positions = interpolate(v_corner, rast, tri_c, corner=True)
-        mask = (rast[..., 3] > 0).astype(jnp.float32)     # (B,H,W)
-
         S = int(texture_sample_px)
         key = jax.random.fold_in(jax.random.PRNGKey(17), it)
-        r = jax.random.uniform(key, (B, res * res))
-        score = r + (1.0 - mask.reshape(B, -1)) * 10.0    # foreground first
-        _, idx = jax.lax.top_k(-score, S)                 # (B,S)
-        pos_s = jnp.take_along_axis(positions.reshape(B, -1, 3),
-                                    idx[..., None], axis=1)
-        gt_s = jnp.take_along_axis(batch["img"].reshape(B, -1,
-                                                        batch["img"].shape[-1]),
-                                   idx[..., None], axis=1)[..., :3]
-        m_s = jnp.take_along_axis(mask.reshape(B, -1), idx, axis=1)
+
+        if texture_cache is not None and "view_idx" in batch:
+            # frozen-geometry cache: per-view compacted foreground pixels
+            # were rasterized once at stage start (build_texture_sample
+            # _cache) — the step just gathers S random cached rows per view
+            vi = batch["view_idx"]                        # (B,)
+            B = vi.shape[0]
+            pos_v = texture_cache["positions"][vi]        # (B,P,3)
+            gt_v = texture_cache["gt"][vi]                # (B,P,3)
+            cnt = texture_cache["count"][vi]              # (B,)
+            u = jax.random.uniform(key, (B, S))
+            slot = jnp.floor(u * cnt[:, None].astype(u.dtype)) \
+                .astype(jnp.int32)
+            slot = jnp.minimum(slot, jnp.maximum(cnt[:, None] - 1, 0))
+            pos_s = jnp.take_along_axis(pos_v, slot[..., None], axis=1)
+            gt_s = jnp.take_along_axis(gt_v, slot[..., None], axis=1)
+            m_s = jnp.broadcast_to((cnt > 0)[:, None].astype(jnp.float32),
+                                   (B, S))
+        else:
+            from .ops.rasterize import interpolate
+            from .ops.transform import transform_pos
+            from .ops.rasterize import rasterize
+
+            tet_v = tet_v_frozen
+            mvp = batch["mvp"]
+            B = mvp.shape[0]
+            res = int(resolution)
+            F = statics.surface_fid.shape[0]
+            v_corner = tet_v[statics.corner_vid]
+            tri_c = jnp.arange(3 * F, dtype=jnp.int32).reshape(F, 3)
+            pos_clip = transform_pos(mvp, v_corner, is_ortho=is_ortho)
+            rast = rasterize(pos_clip, tri_c, (res, res), corner=True,
+                             k=tile_k)
+            positions = interpolate(v_corner, rast, tri_c, corner=True)
+            mask = (rast[..., 3] > 0).astype(jnp.float32)  # (B,H,W)
+
+            r = jax.random.uniform(key, (B, res * res))
+            score = r + (1.0 - mask.reshape(B, -1)) * 10.0  # foreground first
+            _, idx = jax.lax.top_k(-score, S)             # (B,S)
+            pos_s = jnp.take_along_axis(positions.reshape(B, -1, 3),
+                                        idx[..., None], axis=1)
+            gt_s = jnp.take_along_axis(
+                batch["img"].reshape(B, -1, batch["img"].shape[-1]),
+                idx[..., None], axis=1)[..., :3]
+            m_s = jnp.take_along_axis(mask.reshape(B, -1), idx, axis=1)
         # per-iteration gradient key: activates the hash grid's stochastic
         # table gradient when the material config enables it (8x fewer
         # scatter rows in the backward; unbiased — see networks.py)
@@ -229,10 +300,11 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             batch_sharding = NamedSharding(
                 batch_sharding.mesh,
                 PartitionSpec(None, *batch_sharding.spec))
-        batch_spec = {k: (batch_sharding if k in _VIEW_KEYS else None)
-                      for k in _VIEW_KEYS}
-        return jax.jit(step, in_shardings=(replicated_sharding, batch_spec,
-                                           None),
+        # pytree-prefix sharding: every batch leaf is view-major (B, …) —
+        # one spec covers the whole dict regardless of which optional keys
+        # (view_idx, …) a caller includes
+        return jax.jit(step, in_shardings=(replicated_sharding,
+                                           batch_sharding, None),
                        out_shardings=(replicated_sharding, None),
                        donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))
@@ -413,6 +485,18 @@ def train(cfg):
         print(f"view microbatching: {batch_size // view_chunk} chunks of "
               f"{view_chunk} views", flush=True)
 
+    # frozen-geometry visibility cache for the sampled texture stage
+    # (geometry never moves in this stage; rasterizing per step is waste)
+    texture_cache = None
+    if (fitting_stage == "texture" and int(cfg.get("texture_sample_px", 0))
+            and bool(cfg.get("texture_cache", True))):
+        texture_cache = build_texture_sample_cache(
+            geometry.statics, jnp.asarray(geometry.tet_v),
+            dataloader.data_all["mvp"], dataloader.data_all["img"],
+            resolution, is_ortho=is_ortho, tile_k=tile_k)
+        print(f"texture cache: {texture_cache['positions'].shape[0]} views, "
+              f"P={texture_cache['positions'].shape[1]} fg pixels", flush=True)
+
     def get_step(fit_depth_on: bool):
         if fit_depth_on not in steps:
             kw = {}
@@ -427,6 +511,7 @@ def train(cfg):
                 view_chunk=view_chunk,
                 tile_k=tile_k,
                 texture_sample_px=int(cfg.get("texture_sample_px", 0)),
+                texture_cache=texture_cache,
                 is_ortho=is_ortho, material_fn=material_fn,
                 tet_v_frozen=geometry.tet_v, **kw)
         return steps[fit_depth_on]
