@@ -344,3 +344,48 @@ def test_wsr_dense_fallback_on_overflow():
     g2 = jax.grad(via_gather)(pos)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
     assert float(jnp.abs(g2).max()) > 0
+
+
+def test_wsr_pallas_table_grad_matches_gather_path(monkeypatch):
+    """TSSPLAT_WSR_KERNEL=interpret: the Pallas per-tile distinct-winner
+    table-gradient kernel reproduces the gather path's gradients exactly
+    (both through the AA loss and a dense every-foreground-pixel loss that
+    would overflow the XLA compaction caps — the kernel has no caps)."""
+    from tssplat_tpu.ops.pallas_raster import rasterize_ids_pallas
+    from tssplat_tpu.ops.rasterize import (_gather_tri_screen, antialias,
+                                           winner_screen_rows)
+    monkeypatch.setenv("TSSPLAT_WSR_KERNEL", "interpret")
+    pos, tri_c, nbrs = _corner_scene()
+    res = (256, 256)
+    ids, z, gk = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
+                                      corner=True, with_g=nbrs)
+
+    def aa_loss(mode):
+        def f(p):
+            zero = jnp.zeros_like(z)
+            rast = jnp.stack([zero, zero, z, ids.astype(jnp.float32)], -1)
+            g = winner_screen_rows(p, tri_c, ids, nbrs, gk, True) \
+                if mode == "kernel" else None
+            a = jnp.clip(rast[..., 3:4], 0, 1)
+            a = antialias(a, rast, p, tri_c, nbrs, corner=True,
+                          g_precomputed=g)
+            return jnp.sum((a - 0.4) ** 2)
+        return f
+
+    g1 = jax.grad(aa_loss("kernel"))(pos)
+    g2 = jax.grad(aa_loss("gather"))(pos)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+    assert float(jnp.abs(g2).max()) > 0
+
+    # dense cotangents (every fg pixel) — no caps to overflow
+    def via_kernel(p):
+        g = winner_screen_rows(p, tri_c, ids, nbrs, gk, True)
+        return jnp.sum(g[:, :6] ** 2)                    # channel-major
+
+    def via_gather(p):
+        g = _gather_tri_screen(p, tri_c, ids, edge_nbrs=nbrs, corner=True)
+        return jnp.sum(g[..., :6] ** 2)
+
+    g1 = jax.grad(via_kernel)(pos)
+    g2 = jax.grad(via_gather)(pos)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

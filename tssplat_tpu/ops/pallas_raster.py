@@ -651,3 +651,85 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     if with_z:
         return out, zout
     return out
+
+
+# ---------------------------------------------------------------------------
+# AA-backward table gradient: per-tile distinct-winner reduction
+# ---------------------------------------------------------------------------
+
+def _wsr_grad_kernel(ids_ref, ct_ref, out_ref, *, tile_h, tile_w, ca):
+    """Accumulate per-pixel AA cotangents into the per-face table rows.
+
+    One (tile_h, tile_w) tile per grid step: extract the tile's DISTINCT
+    winner ids that carry a nonzero cotangent (silhouette tiles have a
+    handful; most tiles have none) by iterated max-extraction, reduce each
+    channel under the id's mask, and accumulate the 6-wide row into the
+    (F1, 128) VMEM table at the face's row. Replaces the XLA two-stage
+    compaction + sort + lax.cond + segment-sum pipeline (and its static
+    caps/dense-fallback hazard) with one exact pass over ids + ct.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[0]                                     # (th,tw) i32
+    active = ids > 0
+    any_ct = ct_ref[0, 0] != 0.0
+    for ch in range(1, ca):
+        any_ct = any_ct | (ct_ref[0, ch] != 0.0)
+    active = active & any_ct
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def cond(carry):
+        act, _ = carry
+        return jnp.any(act)
+
+    def body(carry):
+        act, n = carry
+        cur = jnp.max(jnp.where(act, ids, 0))            # scalar id (>0)
+        m = act & (ids == cur)
+        mf = m.astype(jnp.float32)
+        row = jnp.zeros((1, 128), jnp.float32)
+        for ch in range(ca):
+            s = jnp.sum(ct_ref[0, ch] * mf)
+            row = row + jnp.where(lane == ch, s, 0.0)
+        out_ref[0, pl.ds(cur - 1, 1), :] += row
+        return act & (ids != cur), n + 1
+
+    jax.lax.while_loop(cond, body, (active, jnp.int32(0)))
+
+
+def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
+                          tile_h: int = 8, tile_w: int = 128,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(B,H,W) winner ids + channel-major (B,CA,H,W) cotangents ->
+    (B, F+1, CA) per-face summed cotangents (row F, the background/dummy
+    row, is never written — background pixels carry no AA cotangent by
+    construction of the owner selection in _aa_pairs)."""
+    B, CA, H, W = ct6.shape
+    assert H % tile_h == 0 and W % tile_w == 0
+    nty, ntx = H // tile_h, W // tile_w
+    F1 = ((F + 1 + 7) // 8) * 8                          # sublane-align rows
+    grid = (B, nty * ntx)
+
+    out = pl.pallas_call(
+        functools.partial(_wsr_grad_kernel, tile_h=tile_h, tile_w=tile_w,
+                          ca=CA),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_h, tile_w),
+                         lambda b, t: (b, t // ntx, t % ntx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CA, tile_h, tile_w),
+                         lambda b, t: (b, 0, t // ntx, t % ntx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, F1, 128), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, F1, 128), jnp.float32),
+        interpret=interpret,
+    )(ids, ct6)
+    return out[:, :F + 1, :CA]

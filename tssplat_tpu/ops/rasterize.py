@@ -35,6 +35,7 @@ Depth test keeps the smallest z/w in [-1, 1].
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -451,6 +452,28 @@ def _wsr_bwd(corner, res, ct):
     # comparisons, and the orientation channel's (15) cotangent dies in the
     # table build's stop_gradient
     CA = min(C, 6)
+
+    # TPU path: one Pallas pass over (ids, ct) accumulates the per-face
+    # cotangent table by per-tile distinct-winner extraction — exact at any
+    # silhouette size (no compaction caps, no dense fallback, no scatter)
+    wsr_env = os.environ.get("TSSPLAT_WSR_KERNEL", "auto")
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    use_kernel = (ct.ndim == 4 and ct.shape[2] % 8 == 0
+                  and ct.shape[3] % 128 == 0 and wsr_env != "off"
+                  and (on_tpu or wsr_env == "interpret"))
+    if use_kernel:
+        from .pallas_raster import wsr_table_grad_pallas
+        d_act = wsr_table_grad_pallas(ids, ct[:, :CA], F,
+                                      interpret=not on_tpu)
+        d_tbl = jnp.concatenate(
+            [d_act, jnp.zeros((B, F + 1, C - CA), d_act.dtype)], axis=-1)
+        _, vjp = jax.vjp(
+            lambda p: _build_screen_table(p, tri, edge_nbrs, corner),
+            pos_clip)
+        (d_pos,) = vjp(d_tbl)
+        return (d_pos, jnp.zeros_like(trif), jnp.zeros_like(idsf),
+                jnp.zeros_like(edge_nbrsf), jnp.zeros_like(ct))
+
     # ct arrives channel-major (the AA chain's fast layout); the compaction
     # below is built on ROW gathers with a trailing channel dim — convert
     # once. The barrier forces a single materialization: without it XLA
