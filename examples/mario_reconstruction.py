@@ -38,7 +38,7 @@ if not os.path.exists(os.path.join(kp, "mario.json")):
 else:
     log("init spheres cached")
 
-iters = 400
+iters = int(os.environ.get("MARIO_ITERS", 400))
 out = os.path.join(root, "out_adam")
 cfg = ConfigDict({
   "fitting_stage": "geometry",

@@ -74,3 +74,20 @@ def test_registry():
     assert reg("A") is A
     with pytest.raises(KeyError):
         reg("B")
+
+
+def test_shipped_configs_parse_and_interpolate():
+    """Both production configs load, interpolate ${...} refs, and carry the
+    reference parity values (reference config/gso.yaml, config/img_to_3D.yaml)."""
+    import os
+    from tssplat_tpu.config import load_config
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    gso = load_config(os.path.join(root, "gso.yaml"))
+    assert gso.data.batch_size == 120 and gso.total_num_iter == 1500
+    assert gso.optimizer.lr == 0.2
+    assert gso.optimizer.grad_limit_values == [0.01, 0.01]
+    assert gso.geometry.smooth_barrier_param.increase_order_iter == 1000
+    i23 = load_config(os.path.join(root, "img_to_3D.yaml"))
+    assert i23.data.batch_size == 120 and i23.total_num_iter == 2000
+    # ${} interpolation resolved
+    assert "${" not in str(gso.output_path) + str(i23.output_path)
