@@ -692,11 +692,15 @@ def _wsr_grad_kernel(ids_ref, ct_ref, out_ref, *, tile_h, tile_w, ca):
         cur = jnp.max(jnp.where(act, ids, 0))            # scalar id (>0)
         m = act & (ids == cur)
         mf = m.astype(jnp.float32)
+        # 16 faces pack into each 128-lane row (8 lanes per face slot) —
+        # the VMEM face table is F/16 rows instead of F (a dense (F,128)
+        # row-per-face table at 50k+ faces would blow VMEM)
+        slot = ((cur - 1) % 16) * 8
         row = jnp.zeros((1, 128), jnp.float32)
         for ch in range(ca):
             s = jnp.sum(ct_ref[0, ch] * mf)
-            row = row + jnp.where(lane == ch, s, 0.0)
-        out_ref[0, pl.ds(cur - 1, 1), :] += row
+            row = row + jnp.where(lane == slot + ch, s, 0.0)
+        out_ref[0, pl.ds((cur - 1) // 16, 1), :] += row
         return act & (ids != cur), n + 1
 
     jax.lax.while_loop(cond, body, (active, jnp.int32(0)))
@@ -710,9 +714,10 @@ def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
     row, is never written — background pixels carry no AA cotangent by
     construction of the owner selection in _aa_pairs)."""
     B, CA, H, W = ct6.shape
-    assert H % tile_h == 0 and W % tile_w == 0
+    assert CA <= 8 and H % tile_h == 0 and W % tile_w == 0
     nty, ntx = H // tile_h, W // tile_w
-    F1 = ((F + 1 + 7) // 8) * 8                          # sublane-align rows
+    # 16 faces per 128-lane row; row count sublane-aligned
+    R = (((F + 1 + 15) // 16 + 7) // 8) * 8
     grid = (B, nty * ntx)
 
     out = pl.pallas_call(
@@ -727,9 +732,10 @@ def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
                          lambda b, t: (b, 0, t // ntx, t % ntx),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, F1, 128), lambda b, t: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, R, 128), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, F1, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, R, 128), jnp.float32),
         interpret=interpret,
     )(ids, ct6)
-    return out[:, :F + 1, :CA]
+    # unpack: (B,R,128) -> (B,R,16,8) face slots -> (B,R*16,8)
+    return out.reshape(B, R, 16, 8).reshape(B, R * 16, 8)[:, :F + 1, :CA]

@@ -460,7 +460,10 @@ def _wsr_bwd(corner, res, ct):
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     use_kernel = (ct.ndim == 4 and ct.shape[2] % 8 == 0
                   and ct.shape[3] % 128 == 0 and wsr_env != "off"
-                  and (on_tpu or wsr_env == "interpret"))
+                  and (on_tpu or wsr_env == "interpret")
+                  # the kernel packs 16 faces per 128-lane VMEM row — cap
+                  # the table well under v5e's ~16 MB VMEM (~190k faces)
+                  and ((F + 16) // 16) * 128 * 4 <= 6 * (1 << 20))
     if use_kernel:
         from .pallas_raster import wsr_table_grad_pallas
         d_act = wsr_table_grad_pallas(ids, ct[:, :CA], F,
