@@ -42,10 +42,32 @@ def main():
     from tssplat_tpu.train import make_train_step, TrainState
     from tssplat_tpu.optim import adam_uniform, cosine_annealing_lr
 
-    # geometry: one TetSphere at reference resolution
-    v, t = tet_sphere(0.03, radius=0.25)
-    geo = TetMeshGeometry(dict(use_smooth_barrier=True),
-                          tetmesh=TetMesh(v, t))
+    # geometry: one TetSphere at reference resolution, or BENCH_SPHERES=N
+    # for a production-scale multi-sphere scene (GSO assets run ~8 spheres)
+    n_spheres = int(os.environ.get("BENCH_SPHERES", 1))
+    if n_spheres > 1:
+        import json as _json
+        import tempfile
+        from tssplat_tpu.ops.transform import fibonacci_views as _fv
+        from tssplat_tpu.geometry.multisphere import TetMeshMultiSphereGeometry
+        _, _, centers = _fv(n_spheres, radius=0.18)
+        kp = {"pt": centers.tolist(), "r": [0.16] * n_spheres}
+        tmp = tempfile.mkdtemp(prefix="bench_spheres_")
+        with open(os.path.join(tmp, "kp.json"), "w") as fh:
+            _json.dump(kp, fh)
+        geo = TetMeshMultiSphereGeometry(dict(
+            use_smooth_barrier=True,
+            key_points_file_path=os.path.join(tmp, "kp.json"),
+            tetwild_cache_folder=os.path.join(tmp, "cache"),
+            output_path=tmp))
+        import sys
+        print(f"spheres={n_spheres}: {geo.tet_v.shape[0]} verts, "
+              f"{geo.statics.surface_fid.shape[0]} faces",
+              file=sys.stderr, flush=True)
+    else:
+        v, t = tet_sphere(0.03, radius=0.25)
+        geo = TetMeshGeometry(dict(use_smooth_barrier=True),
+                              tetmesh=TetMesh(v, t))
 
     # targets: ellipsoid silhouettes rendered by the framework itself
     sv, sf = icosphere(subdivisions=3)
@@ -133,8 +155,9 @@ def main():
 
     ips = iters / dt
     assert np.isfinite(float(out[0]))
+    sph = f"_s{n_spheres}" if n_spheres > 1 else ""
     print(json.dumps({
-        "metric": f"{stage}_train_iters_per_sec_b{n_views}_r{res}",
+        "metric": f"{stage}_train_iters_per_sec_b{n_views}_r{res}{sph}",
         "value": round(ips, 4),
         "unit": "iters/s",
         "vs_baseline": None,
