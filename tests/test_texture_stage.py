@@ -393,3 +393,50 @@ def test_stochastic_table_grad_unbiased_and_trains(tex_root):
                                     jnp.asarray(sv, jnp.float32), 0))
     err0 = np.abs(pred0 - tgt).mean()
     assert err < 0.6 * err0, (err, err0)
+
+
+def test_texture_sample_cache_contents(tex_root):
+    """build_texture_sample_cache: cached rows are exactly the foreground
+    pixels' interpolated world positions and composited GT colors."""
+    import jax
+    from tssplat_tpu.train import build_texture_sample_cache
+    from tssplat_tpu.config import load_dataloader
+    from tssplat_tpu.geometry.multisphere import TetMeshMultiSphereGeometry
+    from tssplat_tpu.ops.transform import transform_pos
+    from tssplat_tpu.ops.rasterize import rasterize, interpolate
+
+    out = os.path.join(str(tex_root), "out_cache")
+    geo = TetMeshMultiSphereGeometry(dict(
+        use_smooth_barrier=False,
+        initial_mesh_path=os.path.join(str(tex_root), "geo", "final"),
+        output_path=out))
+    dl = load_dataloader("MistubaImgDataLoader")(dict(
+        dataset_config={"image_root": os.path.join(str(tex_root), "img")},
+        world_size=1, rank=0, batch_size=N_VIEWS, total_num_iter=1))
+    res = int(dl.data_all["resolution"])
+    tet_v = jnp.asarray(geo.tet_v)
+    cache = build_texture_sample_cache(geo.statics, tet_v,
+                                       dl.data_all["mvp"],
+                                       dl.data_all["img"], res)
+    n = dl.data_all["mvp"].shape[0]
+    assert cache["positions"].shape[:2] == cache["gt"].shape[:2]
+    assert cache["count"].shape == (n,)
+    assert int(jnp.min(cache["count"])) > 0
+
+    # oracle for view 0: rasterize + interpolate + boolean mask
+    F = geo.statics.surface_fid.shape[0]
+    tri_c = jnp.arange(3 * F, dtype=jnp.int32).reshape(F, 3)
+    vc = tet_v[geo.statics.corner_vid]
+    pc = transform_pos(dl.data_all["mvp"][:1], vc)
+    rast = rasterize(pc, tri_c, (res, res), corner=True)
+    pos = np.asarray(interpolate(vc, rast, tri_c, corner=True))[0]
+    fg = np.asarray(rast[0, ..., 3] > 0)
+    cnt = int(cache["count"][0])
+    assert cnt == int(fg.sum())
+    got = np.asarray(cache["positions"][0][:cnt])
+    want = pos[fg]
+    # compaction is sorted by linear pixel index — same order as fg scan
+    np.testing.assert_allclose(got, want.reshape(-1, 3), atol=1e-6)
+    gt0 = np.asarray(cache["gt"][0][:cnt])
+    img0 = np.asarray(dl.data_all["img"][0])[..., :3]
+    np.testing.assert_allclose(gt0, img0[fg].reshape(-1, 3), atol=1e-6)
