@@ -106,3 +106,72 @@ def test_env_rank(monkeypatch):
     assert get_rank() == 3
     monkeypatch.setenv("WORLD_SIZE", "8")
     assert get_world_size() == 8
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-run writes a full-state checkpoint (graceful preemption)
+    and the run resumes from it with resume=true."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    img = tmp_path / "img"
+    from tssplat_tpu.mesh.spheres import icosphere
+    from tssplat_tpu.tools.synthetic import write_synthetic_dataset
+    v, f = icosphere(2)
+    write_synthetic_dataset(str(img), v * 0.3, f, n_views=2, resolution=64)
+    kp = tmp_path / "kp.json"
+    kp.write_text(json.dumps({"pt": [[0, 0, 0]], "r": [0.25]}))
+    out = tmp_path / "o"
+
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from tssplat_tpu.config import ConfigDict
+from tssplat_tpu.train import train
+cfg = ConfigDict({{
+    "fitting_stage": "geometry",
+    "geometry_type": "TetMeshMultiSphereGeometry",
+    "geometry": {{"use_smooth_barrier": False,
+                 "key_points_file_path": {repr(str(kp))},
+                 "tetwild_cache_folder": {repr(str(tmp_path / 'c'))},
+                 "output_path": {repr(str(out))}}},
+    "dataloader_type": "MistubaImgDataLoader",
+    "data": {{"dataset_config": {{"image_root": {repr(str(img))}}},
+             "world_size": 1, "rank": 0, "batch_size": 2,
+             "total_num_iter": 100000}},
+    "optimizer": {{"lr": 0.1, "grad_limit": False}},
+    "output_path": {repr(str(out))},
+    "total_num_iter": 100000,
+    "use_permute_surface_v": False,
+    "log_every": 1, "export_every": 10**6,
+    "resume": True,
+}})
+train(cfg)
+"""
+    sp = tmp_path / "run.py"
+    sp.write_text(script)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.Popen([sys.executable, str(sp)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+    # wait until iterations actually tick, then SIGTERM
+    t0 = _time.time()
+    started = False
+    while _time.time() - t0 < 300:
+        line = p.stdout.readline()
+        if "iter=   2" in line:
+            started = True
+            break
+    assert started, "training never reached iter 2"
+    p.send_signal(signal.SIGTERM)
+    rest, _ = p.communicate(timeout=300)
+    assert "preempted: checkpoint written" in rest, rest[-2000:]
+
+    from tssplat_tpu.utils.checkpoint import latest_checkpoint_step
+    saved = latest_checkpoint_step(str(out / "ckpt"))
+    assert saved is not None and saved >= 2

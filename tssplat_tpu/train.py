@@ -524,10 +524,33 @@ def train(cfg):
     meter = ThroughputMeter()
     rays_per_forward = batch_size * resolution * resolution
 
+    # graceful preemption: on SIGTERM/SIGINT finish the current iteration,
+    # write a full-state checkpoint, and export — the run resumes with
+    # `resume: true` (elastic training; the reference loses everything on
+    # kill since it only persists mesh artifacts at export_every)
+    import signal
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_requested["flag"] = True
+
+    old_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            old_handlers[sig] = signal.signal(sig, _on_term)
+        except ValueError:          # non-main thread (tests)
+            pass
+
     key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     t0 = time.time()
     n_steps = 0
     for it in range(start_iter, total_iters):
+        if stop_requested["flag"]:
+            from .utils.checkpoint import save_checkpoint
+            save_checkpoint(ckpt_dir, it - 1, jax.device_get(state))
+            print(f"preempted: checkpoint written at iter {it - 1} "
+                  f"(resume with resume=true)", flush=True)
+            break
         # periodic remeshing: re-tetrahedralize the deformed volume and
         # restart the optimizer on the fresh topology (the reference stubs
         # this — geometry/tetmesh_geometry.py:174-175)
@@ -586,6 +609,9 @@ def train(cfg):
             if verbose:
                 _dump_images(out_path, it, state, dataloader, geometry,
                              resolution, fitting_stage)
+
+    for sig, h in old_handlers.items():
+        signal.signal(sig, h)
 
     dt = time.time() - t0
     print(f"Best rendering loss: {float(state.best_loss)} at iteration "
