@@ -139,9 +139,13 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
         img_loss = img_loss * 20.0
 
         if fit_depth:
+            # the depth term reuses the stage's shade_loss (reference
+            # trainer.py:42-49,108-110): MSE in the geometry stage, L1 in
+            # the texture stage
             a = color_ref[..., -1]
-            img_loss = img_loss + 100.0 * jnp.mean(
-                (out.depth[..., -1] * a - batch["d"][..., -1] * a) ** 2)
+            d_err = out.depth[..., -1] * a - batch["d"][..., -1] * a
+            img_loss = img_loss + 100.0 * (
+                jnp.mean(d_err ** 2) if only_alpha else jnp.mean(jnp.abs(d_err)))
 
         if fit_normal:
             # masked normal supervision (the reference renderer computes the
