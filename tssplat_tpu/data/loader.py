@@ -20,7 +20,7 @@ with every host able to materialize any rank's slice deterministically.
 from __future__ import annotations
 
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax.numpy as jnp
