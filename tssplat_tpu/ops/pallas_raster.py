@@ -683,14 +683,16 @@ def _wsr_grad_kernel(ids_ref, ct_ref, out_ref, *, tile_h, tile_w, ca):
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
+    # the loop-carried mask is i32, not bool: Mosaic rejects loop-carried
+    # i1 vectors ("failed to legalize scf.yield" on vector<8x128xi1>)
     def cond(carry):
         act, _ = carry
-        return jnp.any(act)
+        return jnp.max(act) > 0
 
     def body(carry):
         act, n = carry
-        cur = jnp.max(jnp.where(act, ids, 0))            # scalar id (>0)
-        m = act & (ids == cur)
+        cur = jnp.max(jnp.where(act > 0, ids, 0))        # scalar id (>0)
+        m = (act > 0) & (ids == cur)
         mf = m.astype(jnp.float32)
         # 16 faces pack into each 128-lane row (8 lanes per face slot) —
         # the VMEM face table is F/16 rows instead of F (a dense (F,128)
@@ -701,9 +703,10 @@ def _wsr_grad_kernel(ids_ref, ct_ref, out_ref, *, tile_h, tile_w, ca):
             s = jnp.sum(ct_ref[0, ch] * mf)
             row = row + jnp.where(lane == slot + ch, s, 0.0)
         out_ref[0, pl.ds((cur - 1) // 16, 1), :] += row
-        return act & (ids != cur), n + 1
+        return jnp.where(ids == cur, 0, act), n + 1
 
-    jax.lax.while_loop(cond, body, (active, jnp.int32(0)))
+    jax.lax.while_loop(cond, body,
+                       (active.astype(jnp.int32), jnp.int32(0)))
 
 
 def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
