@@ -710,13 +710,21 @@ def _wsr_grad_kernel(ids_ref, ct_ref, out_ref, *, tile_h, tile_w, ca):
 
 
 def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
-                          tile_h: int = 8, tile_w: int = 128,
+                          tile_h: int = 0, tile_w: int = 128,
                           interpret: bool = False) -> jnp.ndarray:
     """(B,H,W) winner ids + channel-major (B,CA,H,W) cotangents ->
     (B, F+1, CA) per-face summed cotangents (row F, the background/dummy
     row, is never written — background pixels carry no AA cotangent by
-    construction of the owner selection in _aa_pairs)."""
+    construction of the owner selection in _aa_pairs).
+
+    tile_h=0 auto-picks the largest of {32,16,8} dividing H: a face
+    crossing several 8-row tiles is one while-loop iteration in a 32-row
+    tile, and fewer grid steps amortize the per-tile block DMA (measured
+    2.9 -> 2.4 ms at 8x512^2 on v5e; beyond 32 rows the per-iteration
+    tile-wide reduces start paying the win back)."""
     B, CA, H, W = ct6.shape
+    if tile_h == 0:
+        tile_h = next((th for th in (32, 16, 8) if H % th == 0), 8)
     assert CA <= 8 and H % tile_h == 0 and W % tile_w == 0
     nty, ntx = H // tile_h, W // tile_w
     # 16 faces per 128-lane row; row count sublane-aligned
