@@ -249,8 +249,89 @@ def scaling():
     }))
 
 
+def smoke():
+    """Seconds-scale TPU kernel-compile smoke: compile the production
+    Pallas kernels (flat-SMEM visibility + AA-row emission, table-gradient
+    backward) at 128x128 on the REAL backend and check outputs against
+    interpret mode. Run this FIRST after any toolchain change — a Mosaic
+    regression here is caught before a full bench/training run (commit
+    feb9d19: a toolchain bump broke the AA kernel and only a failing bench
+    caught it)."""
+    import sys
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        # Pallas has no compile mode on CPU — the smoke exists to catch
+        # TPU toolchain (Mosaic) regressions, so there is nothing to test
+        print(json.dumps({"metric": "pallas_kernel_smoke", "value": 1.0,
+                          "unit": "skipped-cpu", "vs_baseline": None}))
+        return
+    from tssplat_tpu.mesh.spheres import tet_sphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+    from tssplat_tpu.mesh.surface import triangle_edge_neighbors
+    from tssplat_tpu.ops.transform import fibonacci_views, transform_pos
+    from tssplat_tpu.ops.pallas_raster import (rasterize_ids_pallas,
+                                               wsr_table_grad_pallas)
+
+    v, t = tet_sphere(0.12, radius=0.3)
+    mesh = TetMesh(v, t)
+    corner_vid = mesh.surface_vid[mesh.surface_fid].reshape(-1)
+    vc = jnp.asarray(mesh.vtx[corner_vid], jnp.float32)
+    F = mesh.surface_fid.shape[0]
+    tri_c = jnp.arange(3 * F, dtype=jnp.int32).reshape(F, 3)
+    nbrs = jnp.asarray(triangle_edge_neighbors(mesh.surface_fid), jnp.int32)
+    mvp, _, _ = fibonacci_views(2)
+    pos = transform_pos(jnp.asarray(mvp, jnp.float32), vc)
+    H = W = 128
+
+    ok = True
+
+    def check(name, got, want, atol=1e-5):
+        nonlocal ok
+        got, want = np.asarray(got), np.asarray(want)
+        bad = (np.abs(got.astype(np.float64) - want.astype(np.float64))
+               > atol).sum()
+        if bad:
+            ok = False
+            print(f"SMOKE FAIL {name}: {bad} mismatches", file=sys.stderr,
+                  flush=True)
+        else:
+            print(f"smoke ok: {name}", file=sys.stderr, flush=True)
+
+    # visibility + kernel-emitted AA rows (_vis_kernel_flat / _vis_kernel_g)
+    ids_i, z_i, g_i = rasterize_ids_pallas(pos, tri_c, (H, W), corner=True,
+                                           with_g=nbrs, interpret=True)
+    ids_c, z_c, g_c = jax.jit(
+        lambda p: rasterize_ids_pallas(p, tri_c, (H, W), corner=True,
+                                       with_g=nbrs))(pos)
+    check("vis ids", ids_c, ids_i, atol=0)
+    check("vis z", z_c, z_i)
+    check("aa rows g", g_c, g_i)
+
+    # AA table-gradient backward (wsr_table_grad_pallas)
+    rng = np.random.default_rng(0)
+    ct = jnp.asarray(
+        rng.normal(size=(2, 6, H, W)) * (np.asarray(ids_i)[:, None] > 0),
+        jnp.float32)
+    tab_i = wsr_table_grad_pallas(ids_i, ct, F, interpret=True)
+    tab_c = jax.jit(lambda i, c: wsr_table_grad_pallas(i, c, F))(ids_i, ct)
+    check("table grad", tab_c, tab_i, atol=1e-4)
+
+    print(json.dumps({
+        "metric": "pallas_kernel_smoke",
+        "value": 1.0 if ok else 0.0,
+        "unit": "pass",
+        "vs_baseline": None,
+    }))
+    if not ok:
+        raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    if os.environ.get("BENCH_SCALING"):
+    if os.environ.get("BENCH_SMOKE"):
+        smoke()
+    elif os.environ.get("BENCH_SCALING"):
         scaling()
     else:
         main()
