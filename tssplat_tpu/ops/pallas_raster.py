@@ -657,7 +657,7 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 # AA-backward table gradient: per-tile distinct-winner reduction
 # ---------------------------------------------------------------------------
 
-def _wsr_grad_kernel(ids_ref, ct_ref, out_ref, *, tile_h, tile_w, ca):
+def _wsr_grad_kernel(ids_ref, ct_ref, out_ref, *, ca):
     """Accumulate per-pixel AA cotangents into the per-face table rows.
 
     One (tile_h, tile_w) tile per grid step: extract the tile's DISTINCT
@@ -724,7 +724,12 @@ def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
     tile-wide reduces start paying the win back)."""
     B, CA, H, W = ct6.shape
     if tile_h == 0:
-        tile_h = next((th for th in (32, 16, 8) if H % th == 0), 8)
+        tile_h = next((th for th in (32, 16, 8) if H % th == 0), 0)
+        if tile_h == 0:
+            raise ValueError(
+                f"wsr_table_grad_pallas: H={H} is not divisible by any "
+                f"supported tile height (32, 16, 8) — pad the image or "
+                f"pass an explicit tile_h dividing H")
     assert CA <= 8 and H % tile_h == 0 and W % tile_w == 0
     nty, ntx = H // tile_h, W // tile_w
     # 16 faces per 128-lane row; row count sublane-aligned
@@ -732,8 +737,7 @@ def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
     grid = (B, nty * ntx)
 
     out = pl.pallas_call(
-        functools.partial(_wsr_grad_kernel, tile_h=tile_h, tile_w=tile_w,
-                          ca=CA),
+        functools.partial(_wsr_grad_kernel, ca=CA),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_h, tile_w),
