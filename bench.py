@@ -29,7 +29,7 @@ if os.environ.get("JAX_PLATFORMS"):
 def main():
     n_views = int(os.environ.get("BENCH_VIEWS", 8))
     res = int(os.environ.get("BENCH_RES", 512))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
     stage = os.environ.get("BENCH_STAGE", "geometry")  # geometry | texture
 
     import jax
@@ -143,12 +143,16 @@ def main():
                        best_iter=jnp.zeros((), jnp.int32),
                        best_params=jax.tree_util.tree_map(jnp.array, params))
 
-    # warmup/compile
-    state, out = step(state, batch, 0)
+    # warmup/compile — the first few dispatched steps on the remote axon
+    # backend pay pipeline warm-up beyond compile (measured: 1-step warmup
+    # reads 74-76 it/s where steady state is 89-90); 3 steps settle it
+    warm = 3
+    for it in range(warm):
+        state, out = step(state, batch, it)
     jax.block_until_ready(out[0])
 
     t0 = time.perf_counter()
-    for it in range(1, iters + 1):
+    for it in range(warm, warm + iters):
         state, out = step(state, batch, it)
     jax.block_until_ready(out[0])
     dt = time.perf_counter() - t0
