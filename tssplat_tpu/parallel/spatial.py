@@ -40,7 +40,7 @@ def spatial_mesh(n_view: int, n_sp: int, devices=None) -> Mesh:
 
 def spatial_silhouette_loss(tet_v, statics, mvp, target_alpha, mesh: Mesh,
                             resolution: int, is_ortho: bool = False,
-                            method: str = "auto"):
+                            method: str = "auto", tile_k=None):
     """Mean squared silhouette error, row-sharded across ``mesh``'s 'sp'
     axis (and view-sharded across 'view' when present).
 
@@ -71,7 +71,7 @@ def spatial_silhouette_loss(tet_v, statics, mvp, target_alpha, mesh: Mesh,
         pos_clip = transform_pos(mvp_l, v_corner, is_ortho=is_ortho)
         rast, g = rasterize_silhouette_with_rows(
             pos_clip, tri_c, (slab_h, W), statics.edge_nbrs, corner=True,
-            viewport=(row0, H), method=method)
+            viewport=(row0, H), method=method, k=tile_k)
         # halo rows outside the image are EMPTY in full-image semantics
         absr = row0 + jnp.arange(slab_h)
         valid = (absr >= 0) & (absr < H)
@@ -108,3 +108,53 @@ def shard_spatial_batch(mvp, target_alpha, mesh: Mesh):
         else P(None, SPATIAL_AXIS)
     return (jax.device_put(mvp, NamedSharding(mesh, vspec)),
             jax.device_put(target_alpha, NamedSharding(mesh, tspec)))
+
+
+def spatial_geometry_loss(tet_v, statics, batch, it, mesh: Mesh,
+                          resolution: int, is_ortho: bool = False,
+                          method: str = "auto", tile_k=None):
+    """Full geometry-stage training loss under ('view','sp') sharding.
+
+    Identical semantics to the trainer's unsharded geometry loss
+    (train.py::_img_loss, reference trainer.py:98-115): silhouette MSE x20,
+    total = img_loss*100 + smooth/barrier energy. The silhouette term is
+    computed with shard_map row slabs (exact — see spatial_silhouette_loss);
+    the energy is replicated work on the replicated tet_v (it is ~3 ms on
+    the full mesh, far below the per-slab render, so sharding it over tets
+    would trade a cheap replicated compute for collectives on every
+    neighbor gather).
+
+    Returns (loss, (img_loss, reg)).
+    """
+    from ..geometry.tet_geometry import geometry_forward
+
+    img_loss = spatial_silhouette_loss(
+        tet_v, statics, batch["mvp"], batch["img"][..., -1], mesh,
+        resolution, is_ortho=is_ortho, method=method, tile_k=tile_k) * 20.0
+    reg = geometry_forward(tet_v, statics, it).energy \
+        if statics.energy is not None else jnp.zeros(())
+    return img_loss * 100.0 + reg, (img_loss, reg)
+
+
+# batch entries sharded per-pixel-row (B,H,...) vs per-view (B,...)
+_PIXEL_KEYS = ("img", "background", "n", "d")
+_VIEW_ONLY_KEYS = ("mvp", "mv", "campos", "view_idx")
+
+
+def shard_spatial_train_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a loader batch onto a ('view','sp') mesh: image-like arrays
+    (B,H,W,C) shard (view, sp) on (0, 1); per-view arrays shard on 'view';
+    anything else replicates."""
+    has_view = "view" in mesh.axis_names
+    vspec = P("view") if has_view else P()
+    pspec = P("view", SPATIAL_AXIS) if has_view else P(None, SPATIAL_AXIS)
+    out = {}
+    for k, v in batch.items():
+        if k in _PIXEL_KEYS:
+            spec = pspec
+        elif k in _VIEW_ONLY_KEYS:
+            spec = vspec
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

@@ -110,7 +110,8 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
                     material_fn=None, tet_v_frozen=None,
                     view_chunk: int = 0, tile_k: Optional[int] = None,
                     texture_sample_px: int = 0, texture_cache=None,
-                    batch_sharding=None, replicated_sharding=None):
+                    batch_sharding=None, replicated_sharding=None,
+                    sp_mesh=None):
     """Build the jitted train step. Static choices (stage, depth on/off,
     resolution) bake into the compiled program; iteration number is traced.
 
@@ -121,6 +122,9 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
     screen data per step here; chunking removes the ceiling).
     """
     only_alpha = fitting_stage == "geometry"
+    if sp_mesh is not None and (not only_alpha or fit_depth or fit_normal):
+        raise ValueError("spatial sharding supports the geometry stage's "
+                         "silhouette loss only (no fit_depth/fit_normal)")
 
     def _img_loss(tet_v, mat_params, batch, it, with_energy):
         geom = statics if with_energy else statics._replace(energy=None)
@@ -231,6 +235,15 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             tet_v, mat_params = params, None
         else:
             tet_v, mat_params = tet_v_frozen, params
+
+        if sp_mesh is not None:
+            # screen-row (spatial) sharding: the silhouette render splits
+            # each view's pixel rows across the mesh's 'sp' axis under
+            # shard_map — exact loss incl. gradients (tests/test_spatial.py)
+            from .parallel.spatial import spatial_geometry_loss
+            return spatial_geometry_loss(tet_v, statics, batch, it, sp_mesh,
+                                         resolution, is_ortho=is_ortho,
+                                         tile_k=tile_k)
 
         # pre-chunked batches (mvp (n_chunks, chunk, 4, 4)) come from
         # shard_batch(view_chunk=…): the chunk axis is device-sharded and a
@@ -455,9 +468,31 @@ def train(cfg):
     # the per-forward batch divides the device count (the reference's dormant
     # world_size/rank seam made real, SURVEY.md §2.3)
     mesh = None
+    sp_mesh = None
     batch_size = int(cfg.data.get("batch_size", 1))
     n_dev = jax.device_count()
-    if (bool(cfg.get("data_parallel", True)) and n_dev > 1
+    n_sp = int(cfg.get("spatial", 0))
+    if n_sp > 1:
+        # spatial (screen-row) sharding: ('view','sp') mesh — each chip
+        # renders a row slab of the views its 'view' coordinate owns
+        # (SURVEY §7.7's screen-tile axis; composes with view DP)
+        from .parallel.spatial import spatial_mesh
+        n_view_ax = max(1, n_dev // n_sp)
+        ok = (fitting_stage == "geometry" and not bool(cfg.get("fit_depth",
+                                                               False))
+              and not bool(cfg.get("fit_normal", False))
+              and n_dev % n_sp == 0 and batch_size % n_view_ax == 0
+              and resolution % n_sp == 0 and (resolution // n_sp) % 8 == 0)
+        if ok:
+            sp_mesh = spatial_mesh(n_view_ax, n_sp)
+            print(f"spatial sharding: ('view','sp') = ({n_view_ax},{n_sp}) "
+                  f"over {n_view_ax * n_sp} devices (batch {batch_size}, "
+                  f"{resolution // n_sp}-row slabs)", flush=True)
+        else:
+            print(f"spatial={n_sp} incompatible (stage={fitting_stage}, "
+                  f"devices={n_dev}, batch={batch_size}, res={resolution}, "
+                  f"fit_depth/fit_normal must be off) — disabled", flush=True)
+    if (sp_mesh is None and bool(cfg.get("data_parallel", True)) and n_dev > 1
             and batch_size % n_dev == 0):
         from .parallel import make_device_mesh, view_sharding, \
             replicated_sharding, shard_batch
@@ -475,7 +510,9 @@ def train(cfg):
     # shards across devices, the scan runs over device-resident chunks)
     vc_cfg = cfg.get("view_chunk", "auto")
     n_shard = n_dev if mesh is not None else 1
-    if vc_cfg == "auto":
+    if sp_mesh is not None:
+        view_chunk = 0          # slabs already bound per-device memory
+    elif vc_cfg == "auto":
         view_chunk = _auto_view_chunk(batch_size, n_shard, resolution)
     else:
         view_chunk = int(vc_cfg)
@@ -507,6 +544,8 @@ def train(cfg):
             if mesh is not None:
                 kw = dict(batch_sharding=view_sharding(mesh),
                           replicated_sharding=replicated_sharding(mesh))
+            elif sp_mesh is not None:
+                kw = dict(sp_mesh=sp_mesh)
             steps[fit_depth_on] = make_train_step(
                 geometry.statics, update_fn, fitting_stage=fitting_stage,
                 resolution=resolution, fit_depth=fit_depth_on,
@@ -523,6 +562,10 @@ def train(cfg):
     if mesh is not None:
         from .parallel import replicated_sharding as _rs
         state = jax.device_put(state, _rs(mesh))
+    elif sp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        state = jax.device_put(state, NamedSharding(sp_mesh,
+                                                    PartitionSpec()))
 
     from .utils.profiling import ThroughputMeter
     meter = ThroughputMeter()
@@ -592,6 +635,9 @@ def train(cfg):
             if mesh is not None:
                 from .parallel import shard_batch
                 batch = shard_batch(batch, mesh, view_chunk=view_chunk)
+            elif sp_mesh is not None:
+                from .parallel.spatial import shard_spatial_train_batch
+                batch = shard_spatial_train_batch(batch, sp_mesh)
             state, (loss, img_loss, reg) = step_fn(state, batch, it)
             n_steps += 1
             meter.update(1, rays_per_forward)
