@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize import (_screen, _bbox_tile_overlap, _next_pow2,
-                        default_tile_capacity, _AREA_EPS)
+                        default_tile_capacity, _AREA_EPS,
+                        overflow_checks_enabled, emit_overflow_warning)
 
 _INF = float("inf")
 
@@ -289,7 +290,8 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
     """Output-proportional tile binning for one view.
 
     Returns (counts (ntiles,) i32, cand (ntiles,k) i32 triangle indices,
-    F = padding). Work scales with the number of actual (triangle, tile)
+    F = padding, n_drop scalar i32 dropped-slot count).
+    Work scales with the number of actual (triangle, tile)
     overlap pairs, not F x ntiles: each triangle expands to a static
     handful of (tile, id) pairs, one flat unstable sort groups them by
     tile, and searchsorted recovers per-tile offsets. Tiers bound the
@@ -310,9 +312,11 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
     ``flat=True`` skips the dense (ntiles, k) materialization (an
     ntiles*k-row gather — it dominated binning cost) and returns the
     sorted pair list itself: (counts, starts (ntiles,), vals (L,),
-    pool (P,), n_pool) where tile t's binned candidates are
+    pool (P,), n_pool, n_drop) where tile t's binned candidates are
     vals[starts[t] : starts[t] + counts[t] - n_pool] plus pool[:n_pool].
-    counts are exact (no k cap): the flat layout cannot overflow a tile.
+    counts have no per-tile k cap (the flat layout cannot overflow a
+    tile); the only possible drop is the tier-2 pool cap, counted in
+    n_drop.
     """
     H, W = resolution
     F = tri.shape[0]
@@ -389,16 +393,25 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
     pool = jnp.concatenate([jnp.where(big, iota_f, F),
                             med_sorted[med_cap:med_cap + pool_cap]])
     pool = jax.lax.sort(pool, is_stable=False)[:pool_cap]        # (P,)
-    n_pool = jnp.minimum(
-        jnp.sum(big.astype(jnp.int32))
-        + jnp.clip(n_med - med_cap, 0, pool_cap), pool_cap)
+    pool_true = jnp.sum(big.astype(jnp.int32)) \
+        + jnp.maximum(n_med - med_cap, 0)
+    n_pool = jnp.minimum(pool_true, pool_cap).astype(jnp.int32)
+
+    # dropped-candidate counter: triangles beyond the tier-2 pool cap
+    # vanish from EVERY tile (counted once per view); dense mode
+    # additionally drops per-tile slots beyond k. Returned to the caller —
+    # this function runs under vmap, where a lax.cond debug callback would
+    # lower to select and fire unconditionally; the unbatched caller warns
+    # (emit_overflow_warning).
+    n_drop = jnp.maximum(pool_true - pool_cap, 0)
 
     if flat:
         counts = (n_pool + tile_counts).astype(jnp.int32)        # exact
         return (counts, starts[:-1].astype(jnp.int32),
-                vals_s.astype(jnp.int32), pool, n_pool.astype(jnp.int32))
+                vals_s.astype(jnp.int32), pool, n_pool, n_drop)
 
     counts = jnp.minimum(n_pool + tile_counts, k).astype(jnp.int32)
+    n_drop = n_drop + jnp.sum(jnp.maximum(n_pool + tile_counts - k, 0))
 
     j = jnp.arange(k, dtype=jnp.int32)[None, :]                  # (1,k)
     js = j - n_pool
@@ -408,7 +421,7 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
     cand = jnp.where(j < n_pool, pool_vals,
                      jnp.where((js >= 0) & (js < tile_counts[:, None]),
                                small_vals, F))
-    return counts, cand
+    return counts, cand, n_drop
 
 
 def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
@@ -438,14 +451,14 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     F = tri.shape[0]
     sx, sy, sz, v_ok = _screen(pos)
     if flat:
-        counts, starts, vals, pool, n_pool = bin_triangles(
+        counts, starts, vals, pool, n_pool, n_drop = bin_triangles(
             pos, tri, resolution, tile_h, tile_w, k, corner=corner,
             row0=row0, full_h=full_h, flat=True)
         cand = None
     else:
-        counts, cand = bin_triangles(pos, tri, resolution, tile_h, tile_w,
-                                     k, corner=corner, row0=row0,
-                                     full_h=full_h)
+        counts, cand, n_drop = bin_triangles(pos, tri, resolution, tile_h,
+                                             tile_w, k, corner=corner,
+                                             row0=row0, full_h=full_h)
     if corner:
         vx = sx.reshape(F, 3)
         vy = sy.reshape(F, 3)
@@ -478,20 +491,20 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     if flat:
         tbl = jnp.stack(cols, axis=0)                    # (R,F)
         tbl = jnp.concatenate([tbl, jnp.zeros((R, 1), tbl.dtype)], axis=1)
-        return counts, starts, n_pool, tbl, vals, pool
+        return counts, starts, n_pool, tbl, vals, pool, n_drop
 
     ids = (cand + 1)[:, None, :]                         # (ntiles,1,K)
 
     if shared:
         tbl = jnp.stack(cols, axis=0)                    # (R,F)
         tbl = jnp.concatenate([tbl, jnp.zeros((R, 1), tbl.dtype)], axis=1)
-        return counts, tbl, ids
+        return counts, tbl, ids, n_drop
 
     tbl = jnp.stack(cols, axis=-1)
     tbl = jnp.concatenate([tbl, jnp.zeros((1, R), tbl.dtype)], axis=0)
     data = tbl[cand.reshape(-1)].reshape(cand.shape[0], k, R) \
         .transpose(0, 2, 1)                              # (ntiles,R,K)
-    return counts, data, ids
+    return counts, data, ids, n_drop
 
 
 @functools.partial(jax.jit,
@@ -572,7 +585,9 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         prep = jax.vmap(lambda p: _prepare_candidates(
             p, tri, resolution, tile_h, tile_w, k, corner=corner,
             edge_nbrs=with_g, row0=row0, full_h=full_h, flat=True))
-        counts, starts, npool, tbl, vals, pool = prep(pos_clip)
+        counts, starts, npool, tbl, vals, pool, n_drop = prep(pos_clip)
+        if overflow_checks_enabled():
+            emit_overflow_warning(n_drop, "pallas-flat")   # unbatched here
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(B, ntiles),
@@ -605,7 +620,9 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
             p, tri, resolution, tile_h, tile_w, k, corner=corner,
             edge_nbrs=with_g, shared=shared_tbl, row0=row0,
             full_h=full_h))
-        counts, data, ids = prep(pos_clip)               # (B,ntiles,…)
+        counts, data, ids, n_drop = prep(pos_clip)       # (B,ntiles,…)
+        if overflow_checks_enabled():
+            emit_overflow_warning(n_drop, "pallas-dense")  # unbatched here
 
         if shared_tbl:
             data_spec = pl.BlockSpec((1, R, F + 1),

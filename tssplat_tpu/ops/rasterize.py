@@ -209,6 +209,61 @@ def validate_tile_capacity(pos_clip, tri, resolution, tile_h=8, tile_w=128,
     return min(k, _next_pow2(F))
 
 
+def overflow_checks_enabled() -> bool:
+    """Kernel-side capacity-overflow detection (default on where the
+    backend can host the warning callback; set TSSPLAT_OVERFLOW=off to
+    trace without the counters/callbacks, =force to keep them on an
+    unsupported backend).
+
+    The axon remote-TPU plugin rejects host send/recv callbacks at COMPILE
+    time ("axon_pjrt does not support host send/recv callbacks"), so a
+    program merely containing jax.debug.print — even in an untaken cond
+    branch — fails to build there. On that backend the trainer's periodic
+    capacity revalidation (train.py export block) is the overflow net."""
+    mode = os.environ.get("TSSPLAT_OVERFLOW", "warn")
+    if mode == "off":
+        return False
+    if mode == "force":
+        return True
+    try:
+        # the axon plugin reports platform 'tpu'; only its registered
+        # backend name / platform_version reveal it
+        import jax._src.xla_bridge as xb
+        if "axon" in xb.backends():
+            b = xb.get_backend()
+            return "axon" not in (getattr(b, "platform_version", "") or "")
+        return True
+    except Exception:
+        return False
+
+
+def emit_overflow_warning(n_drop, tag: str):
+    """Fire a loud host-side warning when any candidate slot was dropped.
+
+    ``n_drop`` is a per-view (B,) i32 dropped-slot count. MUST be called
+    from an UNBATCHED context: a vmapped lax.cond lowers to select and the
+    debug callback would fire unconditionally — callers compute per-view
+    counts inside vmap/lax.map and warn once on the summed result.
+
+    Silent drops are the one way the binned rasterizer can diverge from
+    nvdiffrast's never-drop contract (reference
+    renderers/mesh_rasterizer.py:103-104): an overflowing tile loses
+    triangles and the silhouette gradient is wrong with no error. The
+    trainer validates capacity at startup/remesh/export with a 2x margin
+    (_validated_tile_k); this callback catches deformation beyond the
+    margin in between."""
+    total = jnp.sum(n_drop)
+
+    def fire(nd):
+        jax.debug.print(
+            "WARNING: rasterizer tile-capacity overflow [" + tag + "]: "
+            "{n} candidate slots dropped per view {v} — silhouette "
+            "gradients are wrong; raise tile_k (validate_tile_capacity) "
+            "or the binning caps", n=jnp.sum(nd), v=nd)
+
+    jax.lax.cond(total > 0, fire, lambda nd: None, n_drop)
+
+
 def _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w,
                        row0=0, full_h=None):
     """(ntiles, F) bool: triangle bbox (pixel-center coords) intersects tile."""
@@ -247,6 +302,12 @@ def _rasterize_ids_tiled_one_view(pos, tri, resolution, tile_h, tile_w, k,
                             row0, full_h)
     ntiles = ov.shape[0]
     nty, ntx = H // tile_h, W // tile_w
+
+    # dropped-candidate counter: tiles whose true candidate count exceeds
+    # the static capacity lose the highest-indexed triangles
+    n_drop = jnp.sum(jnp.maximum(
+        jnp.sum(ov.astype(jnp.int32), axis=-1) - min(k, F), 0)) \
+        if overflow_checks_enabled() else jnp.zeros((), jnp.int32)
 
     # static top-K select: sort (tri_id if overlapping else F) ascending
     cand = jnp.where(ov, jnp.arange(F, dtype=jnp.int32)[None, :],
@@ -327,7 +388,7 @@ def _rasterize_ids_tiled_one_view(pos, tri, resolution, tile_h, tile_w, k,
 
     img = ids.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3) \
         .reshape(H, W)
-    return img
+    return img, n_drop
 
 
 def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
@@ -356,7 +417,10 @@ def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                           resolution=resolution, tile_h=tile_h,
                           tile_w=tile_w, k=k, ck=ck, row0=row0,
                           full_h=full_h)
-    return jax.lax.map(f, pos_clip)
+    ids, n_drop = jax.lax.map(f, pos_clip)
+    if overflow_checks_enabled():
+        emit_overflow_warning(n_drop, "xla-tiled")       # unbatched here
+    return ids
 
 
 # ---------------------------------------------------------------------------

@@ -653,6 +653,20 @@ def train(cfg):
 
         if it % export_every == 0 and fitting_stage == "geometry":
             geometry.set_tet_v(state.params)
+            # revalidate binned-rasterizer capacity on the CURRENT deformed
+            # geometry (startup validation carries a 2x margin; a mesh that
+            # deforms past it would overflow tiles — the kernel-side drop
+            # counters warn, this recheck repairs). Growth rebuilds the
+            # step; shrink is ignored (no recompile churn).
+            if tile_k is not None and it > start_iter:
+                new_k = _validated_tile_k(geometry, dataloader, resolution,
+                                          is_ortho)
+                if new_k is not None and new_k > tile_k:
+                    print(f"tile capacity revalidated {tile_k} -> {new_k} "
+                          f"at iter {it} (deformation outgrew the startup "
+                          f"margin)", flush=True)
+                    tile_k = new_k
+                    steps.clear()
             d = os.path.join(out_path, f"mesh{it:05d}")
             os.makedirs(d, exist_ok=True)
             geometry.export(d, f"{it:05d}")
