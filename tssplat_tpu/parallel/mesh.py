@@ -74,12 +74,34 @@ def shard_batch(batch: dict, mesh: Mesh, view_chunk: int = 0) -> dict:
     ``view_chunk`` > 0 additionally reshapes each view array (B, …) to
     (B // view_chunk, view_chunk, …) so the train step's microbatch scan
     runs over device-resident chunks (see chunked_view_sharding).
-    Requires B % view_chunk == 0 and view_chunk % n_devices == 0."""
+    Requires B % view_chunk == 0 and view_chunk % n_devices == 0.
+
+    Multi-host (jax.process_count() > 1): each process passes its RANK'S
+    view slice (the dataloader's (world_size, rank) seam) and the batch
+    assembles into one global array over the DCN-spanning mesh — the view
+    axis concatenates across processes in rank order, replicated entries
+    must be identical on every process."""
     spec = batch_spec_for(batch, mesh, view_chunk)
+    multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if view_chunk and k in _VIEW_KEYS:
             v = np.asarray(v)
             v = v.reshape(v.shape[0] // view_chunk, view_chunk, *v.shape[1:])
-        out[k] = jax.device_put(v, spec[k])
+        if multihost:
+            out[k] = jax.make_array_from_process_local_data(
+                spec[k], np.asarray(v))
+        else:
+            out[k] = jax.device_put(v, spec[k])
     return out
+
+
+def replicate_multihost(tree, mesh: Mesh):
+    """Replicate a host-resident pytree onto every device of a (possibly
+    process-spanning) mesh. Single-process: plain device_put."""
+    rs = replicated_sharding(mesh)
+    if jax.process_count() <= 1:
+        return jax.device_put(tree, rs)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(rs, np.asarray(x)),
+        tree)

@@ -359,7 +359,13 @@ def _validated_tile_k(geometry, dataloader, resolution: int,
     from .ops.rasterize import (validate_tile_capacity,
                                 default_tile_capacity)
     from .ops.transform import transform_pos
-    batch = dataloader(0, 0)
+    # rank-0 slice on every process: capacity feeds jit-static shapes, so
+    # all hosts of a multi-host run must measure the SAME views (divergent
+    # k would compile divergent SPMD programs — a silent deadlock)
+    try:
+        batch = dataloader(0, 0, rank=0)
+    except TypeError:
+        batch = dataloader(0, 0)
     mvp = jnp.asarray(batch["mvp"], jnp.float32)
     v_corner = geometry.tet_v[geometry.statics.corner_vid]
     pos_clip = transform_pos(mvp, v_corner, is_ortho=is_ortho)
@@ -492,12 +498,22 @@ def train(cfg):
             print(f"spatial={n_sp} incompatible (stage={fitting_stage}, "
                   f"devices={n_dev}, batch={batch_size}, res={resolution}, "
                   f"fit_depth/fit_normal must be off) — disabled", flush=True)
+    # multi-host: the loader's (world_size, rank) seam feeds per-process
+    # view slices; the global batch (batch_size x world_size) shards over
+    # the process-spanning mesh (shard_batch assembles it in rank order)
+    n_proc = jax.process_count()
+    world = int(cfg.data.get("world_size", 1))
+    if n_proc > 1 and world != n_proc:
+        raise ValueError(f"data.world_size={world} must equal "
+                         f"jax.process_count()={n_proc} in multi-host runs")
+    global_batch = batch_size * world
     if (sp_mesh is None and bool(cfg.get("data_parallel", True)) and n_dev > 1
-            and batch_size % n_dev == 0):
+            and global_batch % n_dev == 0):
         from .parallel import make_device_mesh, view_sharding, \
             replicated_sharding, shard_batch
         mesh = make_device_mesh()
-        print(f"data-parallel over {n_dev} devices (batch {batch_size})")
+        print(f"data-parallel over {n_dev} devices "
+              f"({n_proc} processes, global batch {global_batch})")
 
     steps = {}
     # validate the binned rasterizer's per-tile capacity on the real scene
@@ -510,8 +526,11 @@ def train(cfg):
     # shards across devices, the scan runs over device-resident chunks)
     vc_cfg = cfg.get("view_chunk", "auto")
     n_shard = n_dev if mesh is not None else 1
-    if sp_mesh is not None:
-        view_chunk = 0          # slabs already bound per-device memory
+    if sp_mesh is not None or n_proc > 1:
+        # slabs already bound per-device memory / multi-host keeps the
+        # simple per-rank (B, …) layout (pre-chunk + axis-1 sharding
+        # would interleave chunks across hosts)
+        view_chunk = 0
     elif vc_cfg == "auto":
         view_chunk = _auto_view_chunk(batch_size, n_shard, resolution)
     else:
@@ -560,8 +579,8 @@ def train(cfg):
         return steps[fit_depth_on]
 
     if mesh is not None:
-        from .parallel import replicated_sharding as _rs
-        state = jax.device_put(state, _rs(mesh))
+        from .parallel import replicate_multihost
+        state = replicate_multihost(state, mesh)
     elif sp_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         state = jax.device_put(state, NamedSharding(sp_mesh,
@@ -587,6 +606,11 @@ def train(cfg):
             old_handlers[sig] = signal.signal(sig, _on_term)
         except ValueError:          # non-main thread (tests)
             pass
+
+    # multi-host: artifacts/checkpoints written once (state is replicated,
+    # process 0's copy is canonical); compiled-program-shaping work
+    # (capacity revalidation, remesh) stays on EVERY process
+    is_main = jax.process_index() == 0
 
     key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     t0 = time.time()
@@ -647,7 +671,7 @@ def train(cfg):
                   % (it, float(img_loss), float(reg), meter.summary()),
                   flush=True)
 
-        if checkpoint_every and it and it % checkpoint_every == 0:
+        if is_main and checkpoint_every and it and it % checkpoint_every == 0:
             from .utils.checkpoint import save_checkpoint
             save_checkpoint(ckpt_dir, it, jax.device_get(state))
 
@@ -667,12 +691,13 @@ def train(cfg):
                           f"margin)", flush=True)
                     tile_k = new_k
                     steps.clear()
-            d = os.path.join(out_path, f"mesh{it:05d}")
-            os.makedirs(d, exist_ok=True)
-            geometry.export(d, f"{it:05d}")
-            if verbose:
-                _dump_images(out_path, it, state, dataloader, geometry,
-                             resolution, fitting_stage)
+            if is_main:
+                d = os.path.join(out_path, f"mesh{it:05d}")
+                os.makedirs(d, exist_ok=True)
+                geometry.export(d, f"{it:05d}")
+                if verbose:
+                    _dump_images(out_path, it, state, dataloader, geometry,
+                                 resolution, fitting_stage)
 
     for sig, h in old_handlers.items():
         signal.signal(sig, h)
@@ -684,7 +709,9 @@ def train(cfg):
 
     if fitting_stage == "geometry":
         geometry.set_tet_v(state.params)
-    geometry.export(os.path.join(out_path, "final"), "final", save_npy=True)
+    if is_main:
+        geometry.export(os.path.join(out_path, "final"), "final",
+                        save_npy=True)
     if material is not None:
         material.params = state.params
         material.export(os.path.join(out_path, "final"), "material")
