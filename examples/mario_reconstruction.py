@@ -39,13 +39,19 @@ else:
     log("init spheres cached")
 
 iters = int(os.environ.get("MARIO_ITERS", 400))
-out = os.path.join(root, "out_adam")
+# MARIO_LAP=volume runs the FEM-style volume-weighted Laplacian instead of
+# the combinatorial default — the biharmonic-convention sensitivity probe
+# (PARITY.md "Assumed": libpgo's exact diagonal convention is unknowable
+# offline; this measures how much the choice matters end-to-end)
+lap = os.environ.get("MARIO_LAP", "uniform")
+out = os.path.join(root, "out_adam" if lap == "uniform" else f"out_{lap}")
 cfg = ConfigDict({
   "fitting_stage": "geometry",
   "geometry_type": "TetMeshMultiSphereGeometry",
   "geometry": {"use_smooth_barrier": True,
     "smooth_barrier_param": {"smooth_eng_coeff": 2e-4, "barrier_coeff": 2e-4,
-                             "increase_order_iter": 500},
+                             "increase_order_iter": 500,
+                             "laplacian_weighting": lap},
     "key_points_file_path": os.path.join(kp, "mario.json"),
     "load_precomputed_tetwild_mesh": os.path.exists(
         os.path.join(root, "cache", "final_tet_v.npy")),
@@ -75,4 +81,5 @@ iou1 = silhouette_iou(svf, sf, v, f)
 log(f"silhouette IoU: init {iou0:.4f} -> final {iou1:.4f}")
 json.dump({"chamfer_init": cd0, "chamfer_final": cd1,
            "sil_iou_init": iou0, "sil_iou_final": iou1},
-          open(os.path.join(root, "metrics.json"), "w"))
+          open(os.path.join(root, "metrics.json" if lap == "uniform"
+                            else f"metrics_{lap}.json"), "w"))
