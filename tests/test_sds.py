@@ -1,0 +1,102 @@
+"""SDS guidance loop (SURVEY §7.8): the score-distillation driver must move
+geometry toward the guidance distribution's mode. With the analytic
+target-image guidance (guidance/sds.py::TargetImageGuidance — the exact
+eps-prediction of delta(target)), SDS reduces in expectation to descent on
+||render - target||^2, so a sphere distilled against an ellipsoid's
+silhouette bank must measurably approach those silhouettes — the full
+driver (jitted render -> host guidance -> vjp update) tested end-to-end
+with no diffusion weights."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from tssplat_tpu.config import ConfigDict
+
+
+def _silhouette_bank(v, f, mvp, res):
+    from tssplat_tpu.ops.rasterize import rasterize_silhouette
+    from tssplat_tpu.ops.transform import transform_pos
+    pos = transform_pos(jnp.asarray(mvp, jnp.float32),
+                        jnp.asarray(v[f.reshape(-1)], jnp.float32))
+    tri_c = jnp.arange(3 * f.shape[0], dtype=jnp.int32).reshape(-1, 3)
+    rast = rasterize_silhouette(pos, tri_c, (res, res), corner=True)
+    return np.asarray(jnp.clip(rast[..., 3:4], 0, 1))
+
+
+def test_sds_estimator_is_unbiased_toward_target():
+    """E[SDS grad] under TargetImageGuidance = w(t) sqrt(ab_t) (x0 - tgt):
+    the Monte-Carlo image gradient must average to a descent direction."""
+    from tssplat_tpu.guidance.sds import (SDSConfig, TargetImageGuidance,
+                                          sds_image_grad, _alphas_cumprod)
+    cfg = SDSConfig(seed=3)
+    rng = np.random.default_rng(5)
+    x0 = rng.uniform(-1, 1, (2, 8, 8, 1)).astype(np.float32)
+    tgt = rng.uniform(-1, 1, (2, 8, 8, 1)).astype(np.float32)
+    g = TargetImageGuidance(tgt, cfg)
+    acc = np.zeros_like(x0)
+    K = 400
+    for _ in range(K):
+        acc += sds_image_grad(x0, g, cfg, rng)
+    acc /= K
+    # direction: overwhelmingly aligned with (x0 - tgt)
+    d = (x0 - tgt) / 2.0                      # batch-normalized like the grad
+    cos = (acc * d).sum() / (np.linalg.norm(acc) * np.linalg.norm(d))
+    assert cos > 0.95, f"cosine {cos}"
+    # scale: under this guidance the per-sample estimator is EXACTLY
+    # w(t) sqrt(ab/(1-ab)) (x0 - tgt)/B (the eps terms cancel), so the MC
+    # mean must match mean_t[(1-ab) sqrt(ab/(1-ab))] (x0 - tgt)/B
+    ab = _alphas_cumprod(cfg)
+    lo, hi = int(cfg.t_min * cfg.n_train_timesteps), \
+        int(cfg.t_max * cfg.n_train_timesteps)
+    w = np.mean([(1 - ab[t]) * math.sqrt(ab[t] / (1 - ab[t]))
+                 for t in range(lo, hi)])
+    np.testing.assert_allclose(np.abs(acc).mean(),
+                               w * np.abs(d).mean(), rtol=0.25)
+
+
+def test_sds_driver_distills_sphere_toward_ellipsoid(tmp_path):
+    from tssplat_tpu.train_sds import train_sds
+    from tssplat_tpu.ops.transform import fibonacci_views
+    from tssplat_tpu.mesh.spheres import icosphere
+
+    res, n_cam = 64, 8
+    mvp, _, _ = fibonacci_views(n_cam)
+    v_t, f_t = icosphere(subdivisions=3)
+    v_t = (v_t * np.asarray([0.34, 0.22, 0.22])).astype(np.float32)
+    bank = _silhouette_bank(v_t, f_t, mvp, res) * 2.0 - 1.0   # (n,H,W,1)
+
+    import json, os
+    kp = os.path.join(str(tmp_path), "kp.json")
+    json.dump({"pt": [[0.0, 0.0, 0.0]], "r": [0.26]}, open(kp, "w"))
+    cfg = ConfigDict({
+        "geometry_type": "TetMeshMultiSphereGeometry",
+        "geometry": {"use_smooth_barrier": True,
+                     "smooth_barrier_param": {"smooth_eng_coeff": 2e-4,
+                                              "barrier_coeff": 2e-4,
+                                              "increase_order_iter": 1000},
+                     "key_points_file_path": kp,
+                     "tetwild_cache_folder": os.path.join(str(tmp_path),
+                                                          "cache")},
+        "output_path": os.path.join(str(tmp_path), "out"),
+        "log_every": 100,
+        "sds": {"render": "alpha", "resolution": res, "n_cameras": n_cam,
+                "views_per_iter": 4, "total_num_iter": 80, "lr": 4e-3,
+                "target_loader": lambda: bank,
+                "sds_param": {"seed": 11}},
+    })
+    state, geometry = train_sds(cfg)
+
+    # silhouette error vs the target bank: must drop substantially
+    sv = geometry.tetmesh.surface_vid
+    sf = geometry.tetmesh.surface_fid
+    def err(verts):
+        s = _silhouette_bank(np.asarray(verts)[sv], sf, mvp, res)
+        return float(np.mean((s - (bank + 1) / 2) ** 2))
+    e0 = err(geometry.tetmesh.vtx_init)
+    e1 = err(state.params)
+    assert e1 < 0.7 * e0, f"SDS made no progress: {e0} -> {e1}"
+    # final export written
+    assert os.path.exists(os.path.join(str(tmp_path), "out", "final",
+                                       "final.veg"))

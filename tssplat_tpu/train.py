@@ -752,7 +752,12 @@ def main(argv=None):
     parser.add_argument("--config", required=True, help="path to config file")
     args, extras = parser.parse_known_args(argv)
     cfg = load_config(args.config, cli_args=extras)
-    train(cfg)
+    if cfg.get("sds"):
+        # image-to-3D score-distillation driver (SURVEY §7.8 extended scope)
+        from .train_sds import train_sds
+        train_sds(cfg)
+    else:
+        train(cfg)
 
 
 if __name__ == "__main__":
