@@ -218,4 +218,4 @@ if OPT in ("parity", "nocap") and os.path.isdir("/root/reference"):
     scale = np.abs(np.asarray(jparams)).max()
     log(f"phase 2: max |torch_ref - repo| over {K} steps = {worst:.3e} "
         f"(param scale {scale:.3f}) -> "
-        f"{'IDENTICAL (ref optimizer stalls on these gradients too)' if worst < 1e-4 else 'DIVERGENT'}")
+        f"{'IDENTICAL (the reference optimizer produces the same trajectory on these gradients)' if worst < 1e-4 else 'DIVERGENT'}")

@@ -148,3 +148,44 @@ class TestTetMesh:
         # chart atlas: UV vertices are shared inside charts, so there are
         # fewer UV vertices than corners (the trivial atlas had 3F)
         assert len(uv) < 3 * F
+
+
+def test_repair_sliver_tets_opens_slivers_and_pins_surface():
+    """repair_sliver_tets (the TetWild-quality stand-in): a hand-built
+    interior sliver must be opened past the quality threshold, surface
+    (fixed) vertices must not move, and no tet may invert. One surviving
+    sliver is enough to stall the reference's AdamUniform at multi-sphere
+    scale (its barrier gradient spike starves every other vertex through
+    the global max-normalization — examples/stall_probe.py)."""
+    import numpy as np
+    from tssplat_tpu.mesh.spheres import (repair_sliver_tets, _tet_quality,
+                                          _tet_volumes)
+
+    # double-tet: the shared interior vertex 4 sits almost in the plane of
+    # face (0,1,2) -> tet (0,1,2,4) is a sliver; tet (0,1,2,3) is healthy
+    v = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                  [0.3, 0.3, -1.0],          # healthy apex (fixed)
+                  [0.3, 0.3, 0.001]],        # sliver apex (movable)
+                 np.float64)
+    t = np.array([[0, 2, 1, 3], [0, 1, 2, 4]], np.int64)
+    assert (_tet_volumes(v, t) > 0).all()
+    q0 = _tet_quality(v, t)
+    assert q0.min() < 1e-3
+
+    v2 = repair_sliver_tets(v, t, n_fixed=4, h=1.0, q_min=2e-3)
+    q1 = _tet_quality(v2, t)
+    assert q1.min() > q0.min() * 10
+    assert q1.min() >= 2e-3 or q1.min() > 0.01 * q1.max()
+    np.testing.assert_array_equal(v2[:4], v[:4])       # fixed stay fixed
+    assert (_tet_volumes(v2, t) > 0).all()             # no inversion
+
+
+def test_tet_ball_union_min_quality():
+    """Every generated ball mesh clears the sliver threshold that poisons
+    the barrier energy (Delaunay on jittered lattices occasionally leaves
+    one interior sliver — the repair pass must catch it)."""
+    import numpy as np
+    from tssplat_tpu.mesh.spheres import tet_ball_union, _tet_quality
+    for r in (0.1, 0.23, 0.37):
+        v, t = tet_ball_union(max(0.025, r / 4), [np.zeros(3)], [r])
+        assert _tet_quality(v, t).min() > 5e-4, f"radius {r}"

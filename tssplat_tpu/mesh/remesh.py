@@ -116,4 +116,12 @@ def tet_remesh_from_surface(verts, faces, edge_length: float,
     # rendering-invisible
     floor = vol > 2e-4 * h ** 3
     keep_t = inside & floor & ~bad
-    return pts, tets[keep_t]
+    tets = tets[keep_t]
+
+    # interior-sliver repair: the volume floor is not scale-free — a
+    # needle/sliver with long edges passes it yet blows up the barrier
+    # gradient and stalls the parity optimizer (see
+    # mesh/spheres.py::repair_sliver_tets; measured on GSO Mario)
+    from .spheres import repair_sliver_tets
+    pts = repair_sliver_tets(pts, tets, n_fixed=surf_pts.shape[0], h=h)
+    return pts, tets

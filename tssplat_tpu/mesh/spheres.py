@@ -162,7 +162,108 @@ def tet_ball_union(target_edge_length: float, centers, radii,
              - radii[None]).min(axis=1)
     bad = (vol < 5e-3 * h ** 3) & (sd_cc > -0.1 * h)
     keep = (vol > 1e-8 * h ** 3) & ~bad
-    return verts, tets[keep]
+    tets = tets[keep]
+
+    # Interior-sliver repair: peeling only removes BOUNDARY slivers (flat
+    # tets whose circumcenter escapes the body); an interior sliver with
+    # an inside circumsphere survives it. A single such tet is enough to
+    # stall the reference's AdamUniform at multi-sphere scale: its barrier
+    # gradient spikes to 1e3-1e4 while silhouette gradients sit at ~0.1,
+    # and the optimizer's GLOBAL max-normalization then scales every other
+    # vertex's update by ~1e-5 (measured on GSO Mario — examples/
+    # stall_probe.py; the reference avoids this via TetWild's quality
+    # optimization, reference geometry/tetmesh_geometry.py:230-260).
+    verts = repair_sliver_tets(verts, tets, n_fixed=surf.shape[0], h=h)
+    return verts, tets
+
+
+def _tet_quality(verts: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    """Scale-free tet quality |vol| / maxEdge^3 (regular tet ~= 0.118;
+    slivers -> 0)."""
+    vol = np.abs(_tet_volumes(verts, tets))
+    v = verts[tets]
+    L = 0.0
+    for i in range(3):
+        for j in range(i + 1, 4):
+            L = np.maximum(L, np.linalg.norm(v[:, i] - v[:, j], axis=1))
+    return vol / np.maximum(L ** 3, 1e-300)
+
+
+def repair_sliver_tets(verts: np.ndarray, tets: np.ndarray, n_fixed: int,
+                       h: float, q_min: float = 2e-3, iters: int = 20,
+                       ring: int = 1) -> np.ndarray:
+    """Open up sliver tets by smoothing their movable vertices (the
+    lightweight stand-in for TetWild's quality-optimization pass).
+
+    Vertices < ``n_fixed`` (the union-surface samples) are pinned — the
+    mesh boundary IS the geometry. For every tet below ``q_min``, the
+    movable vertices of the tet and its ``ring``-neighborhood relax toward
+    their vertex-neighborhood centroid (Laplacian step, 0.5 blend). Moves
+    that would invert or worsen the LOCAL minimum quality are rejected
+    per-iteration, so the pass is monotone in min-quality and terminates
+    early once every tet clears the threshold. Operates on float64 host
+    arrays at init time (one-off, not in the training path)."""
+    verts = verts.copy()
+    T = tets.shape[0]
+    # vertex -> incident tets (CSR) once
+    order = np.argsort(tets.reshape(-1), kind="stable")
+    flat_t = np.repeat(np.arange(T), 4)[order]
+    counts = np.bincount(tets.reshape(-1), minlength=verts.shape[0])
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    def incident(vids):
+        return np.unique(np.concatenate(
+            [flat_t[starts[v]:starts[v + 1]] for v in vids])) \
+            if len(vids) else np.empty((0,), np.int64)
+
+    for _ in range(iters):
+        q = _tet_quality(verts, tets)
+        bad = np.where(q < q_min)[0]
+        if bad.size == 0:
+            break
+        region_v = np.unique(tets[bad].reshape(-1))
+        for _ in range(ring):
+            region_v = np.unique(tets[incident(region_v)].reshape(-1))
+        movable = region_v[region_v >= n_fixed]
+        if movable.size == 0:
+            break
+        moved_any = False
+        for vid in movable:
+            inc = flat_t[starts[vid]:starts[vid + 1]]
+            inc_t = tets[inc]
+            nbr = np.unique(inc_t.reshape(-1))
+            nbr = nbr[nbr != vid]
+            old = verts[vid].copy()
+            q_old = _tet_quality(verts, tets[inc]).min()
+
+            # candidate moves: Laplacian blends (opens clustered slivers)
+            # + nudges along the worst incident tet's opposite-face normal
+            # (the direction that actually grows a flat tet's height —
+            # a sliver's Laplacian target is often IN its plane)
+            lap = verts[nbr].mean(axis=0)
+            qi = _tet_quality(verts, inc_t)
+            wt = inc_t[qi.argmin()]
+            opp = wt[wt != vid][:3]
+            nrm = np.cross(verts[opp[1]] - verts[opp[0]],
+                           verts[opp[2]] - verts[opp[0]])
+            nn = np.linalg.norm(nrm)
+            nrm = nrm / nn if nn > 1e-30 else np.zeros(3)
+            cands = [old + b * (lap - old) for b in (1.0, 0.5, 0.25)]
+            cands += [old + s * h * nrm for s in (0.3, -0.3, 0.6, -0.6)]
+
+            best_q, best_p = q_old, None
+            for p in cands:
+                verts[vid] = p
+                if (_tet_volumes(verts, tets[inc]) <= 0).any():
+                    continue
+                qn = _tet_quality(verts, tets[inc]).min()
+                if qn > best_q:
+                    best_q, best_p = qn, p
+            verts[vid] = best_p if best_p is not None else old
+            moved_any |= best_p is not None
+        if not moved_any:
+            break
+    return verts
 
 
 def _circumcenters(verts: np.ndarray, tets: np.ndarray) -> np.ndarray:
