@@ -26,6 +26,28 @@ if os.environ.get("JAX_PLATFORMS"):
     _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
+def _plausibility_guard(ips: float, n_views: int, res: int):
+    """Reject physically impossible readings LOUDLY instead of recording
+    them. BENCH_r03 recorded 7281 it/s where the true number was 86.75
+    (the axon backend's early block_until_ready return). The AA-row traffic
+    (the kernel-emitted (B,16,H,W) f32 rows, written once and read back
+    once) is only a small slice of a step's total HBM traffic, so capping
+    it at ~107 GB/s — i.e. 400 it/s at 8x512^2, ~4.6x the honest round-3
+    number — leaves huge headroom for real progress while a bogus reading
+    (7281 it/s = 1.95 TB/s of AA rows ALONE on a ~0.8 TB/s v5e) cannot
+    pass."""
+    aa_row_bytes = 2 * n_views * 16 * res * res * 4  # one write + one read
+    implied_bw = ips * aa_row_bytes
+    max_bw = 1.1e11  # = 410 it/s at 8x512^2 of AA-row-only traffic
+    if implied_bw > max_bw:
+        raise SystemExit(
+            f"BENCH REJECTED: {ips:.1f} it/s at {n_views}x{res}^2 implies "
+            f"{implied_bw / 1e9:.0f} GB/s of AA-row traffic alone "
+            f"(> {max_bw / 1e9:.0f} GB/s guard — the whole step moves far "
+            f"more than its AA rows). This is a timing artifact (early "
+            f"block_until_ready return?) — no JSON recorded.")
+
+
 def main():
     n_views = int(os.environ.get("BENCH_VIEWS", 8))
     res = int(os.environ.get("BENCH_RES", 512))
@@ -149,16 +171,23 @@ def main():
     warm = 3
     for it in range(warm):
         state, out = step(state, batch, it)
-    jax.block_until_ready(out[0])
+    float(out[0])  # host transfer: block_until_ready can return early (axon)
 
+    # the HOST TRANSFER is inside the timed window: on the axon backend
+    # block_until_ready is documented to return before the device finishes
+    # in some states (CLAUDE.md; BENCH_r03 recorded a physically impossible
+    # 7281 it/s that way — judge re-measured 86.75). float() round-trips a
+    # scalar and cannot lie. The steps chain through the donated state, so
+    # syncing the last step's loss syncs the whole window.
     t0 = time.perf_counter()
     for it in range(warm, warm + iters):
         state, out = step(state, batch, it)
-    jax.block_until_ready(out[0])
+    last_loss = float(out[0])
     dt = time.perf_counter() - t0
 
     ips = iters / dt
-    assert np.isfinite(float(out[0]))
+    assert np.isfinite(last_loss)
+    _plausibility_guard(ips, n_views, res)
     sph = f"_s{n_spheres}" if n_spheres > 1 else ""
     print(json.dumps({
         "metric": f"{stage}_train_iters_per_sec_b{n_views}_r{res}{sph}",
@@ -233,12 +262,13 @@ def scaling():
         if n_devices > 1:
             from tssplat_tpu.parallel import replicated_sharding as _rs
             state = jax.device_put(state, _rs(mesh))
-        state, out = step(state, batch, 0)
-        jax.block_until_ready(out[0])
-        t0 = time.perf_counter()
-        for it in range(1, iters + 1):
+        for it in range(3):
             state, out = step(state, batch, it)
-        jax.block_until_ready(out[0])
+        float(out[0])  # host transfer: block_until_ready can return early
+        t0 = time.perf_counter()
+        for it in range(3, 3 + iters):
+            state, out = step(state, batch, it)
+        float(out[0])  # forced sync INSIDE the timed window (see main())
         return iters / (time.perf_counter() - t0)
 
     ips1 = run(1)

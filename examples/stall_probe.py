@@ -122,7 +122,7 @@ for it in range(ITERS):
     for fw in range(nfwd):
         batch = {k: v for k, v in loader(it, fw).items()
                  if k not in ("resolution", "spp")}
-        state, (loss, img_loss, reg) = step(state, batch, it)
+        state, (loss, img_loss, reg, _nd) = step(state, batch, it)
     g = np.asarray(state.opt_state[1], np.float64)
     u = np.asarray(state.opt_state[2], np.float64)
     gs = np.linalg.norm(g, axis=1)

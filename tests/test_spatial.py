@@ -195,7 +195,7 @@ def test_spatial_train_step_matches_single_device():
     s_ref = fresh_state()
     losses_ref = []
     for it in range(2):
-        s_ref, (l, il, rg) = step_ref(s_ref, batch, it)
+        s_ref, (l, il, rg, _nd) = step_ref(s_ref, batch, it)
         losses_ref.append(float(l))
 
     mesh = spatial_mesh(2, 4)
@@ -205,7 +205,7 @@ def test_spatial_train_step_matches_single_device():
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
     batch_sp = shard_spatial_train_batch(batch, mesh)
     for it in range(2):
-        s_sp, (l, il, rg) = step_sp(s_sp, batch_sp, it)
+        s_sp, (l, il, rg, _nd) = step_sp(s_sp, batch_sp, it)
         np.testing.assert_allclose(float(l), losses_ref[it], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s_sp.params),
                                np.asarray(s_ref.params), atol=1e-6)

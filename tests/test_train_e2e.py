@@ -198,7 +198,7 @@ def test_view_chunked_step_matches_unchunked(dataset_dir):
                            best_loss=jnp.float32(np.inf),
                            best_iter=jnp.int32(0),
                            best_params=jnp.array(params))
-        state, (loss, img_loss, reg) = step(state, batch, 0)
+        state, (loss, img_loss, reg, _nd) = step(state, batch, 0)
         outs[chunk] = (float(loss), np.asarray(state.params))
 
     np.testing.assert_allclose(outs[0][0], outs[2][0], rtol=1e-5)

@@ -101,6 +101,81 @@ _CORNERS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
                                 indexing="ij"), axis=-1).reshape(8, 3)
 
 
+def _grid_levels(n_levels, base_resolution, per_level_scale,
+                 log2_hashmap_size):
+    """Per-level grid resolutions + dense/hashed flags (tcnn semantics:
+    levels whose dense (r+1)^3 grid fits the table are collision-free)."""
+    H = 1 << log2_hashmap_size
+    res = [int(math.floor(base_resolution * per_level_scale ** l))
+           for l in range(n_levels)]
+    dense = [(r + 1) ** 3 <= H for r in res]
+    return res, dense, H
+
+
+def _grid_level_setup(x, r):
+    xl = x * r                                             # [0, r]
+    i0 = jnp.floor(xl).astype(jnp.int32)
+    i0 = jnp.clip(i0, 0, r - 1)
+    return i0, xl - i0                                     # int corner, frac
+
+
+def _grid_corner_idx(i0, corner, l, res, dense, H):
+    c = i0 + corner                                        # (…,3)
+    if dense[l]:
+        r = res[l]
+        idx = (c[..., 0] * (r + 1) + c[..., 1]) * (r + 1) + c[..., 2]
+    else:
+        idx = _hash_coords(c, H)
+    return idx + l * H
+
+
+def _grid_exact(table, x, res, dense, H):
+    """Exact multi-level trilinear lookup (…,3) -> (…, L*F)."""
+    outs = []
+    for l in range(len(res)):
+        i0, w = _grid_level_setup(x, res[l])
+        feats = 0.0
+        for corner in _CORNERS:
+            wc = jnp.prod(jnp.where(corner.astype(bool), w, 1.0 - w),
+                          axis=-1)                         # (…,)
+            feats = feats + table[_grid_corner_idx(i0, corner, l, res,
+                                                   dense, H)] \
+                * wc[..., None]
+        outs.append(feats)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _grid_corner_indices_np(xc: np.ndarray, res, dense, H):
+    """Host-side (numpy) corner table indices + trilinear weights for every
+    (point, level, corner): returns (idx (N,L,8) int64 WITH the l*H level
+    offset, w (N,L,8) f32). Bit-exact with the traced _exact lookup — the
+    bucketed-gradient builder sorts these once for a frozen point set."""
+    xc = np.asarray(xc, np.float32)
+    N = xc.shape[0]
+    L = len(res)
+    idx = np.empty((N, L, 8), np.int64)
+    wgt = np.empty((N, L, 8), np.float32)
+    for l, r in enumerate(res):
+        xl = xc * np.float32(r)
+        i0 = np.clip(np.floor(xl).astype(np.int32), 0, r - 1)
+        w = xl - i0                                       # (N,3) f32
+        for ci, corner in enumerate(_CORNERS):
+            c = i0 + corner                               # (N,3)
+            if dense[l]:
+                ii = (c[:, 0].astype(np.int64) * (r + 1)
+                      + c[:, 1]) * (r + 1) + c[:, 2]
+            else:
+                cu = c.astype(np.uint32)
+                h = cu[:, 0] * _HASH_PRIMES[0]
+                h = h ^ (cu[:, 1] * _HASH_PRIMES[1])
+                h = h ^ (cu[:, 2] * _HASH_PRIMES[2])
+                ii = (h % np.uint32(H)).astype(np.int64)
+            idx[:, l, ci] = ii + l * H
+            wgt[:, l, ci] = np.prod(
+                np.where(corner.astype(bool)[None, :], w, 1.0 - w), axis=-1)
+    return idx, wgt
+
+
 def hash_grid_encoding(n_input_dims: int = 3, n_levels: int = 16,
                        n_features_per_level: int = 2,
                        log2_hashmap_size: int = 19, base_resolution: int = 16,
@@ -124,10 +199,8 @@ def hash_grid_encoding(n_input_dims: int = 3, n_levels: int = 16,
     the position gradient) stay exact.
     """
     assert n_input_dims == 3, "hash grid implemented for 3-D inputs"
-    H = 1 << log2_hashmap_size
-    res = [int(math.floor(base_resolution * per_level_scale ** l))
-           for l in range(n_levels)]
-    dense = [(r + 1) ** 3 <= H for r in res]
+    res, dense, H = _grid_levels(n_levels, base_resolution, per_level_scale,
+                                 log2_hashmap_size)
     F = n_features_per_level
     L = n_levels
 
@@ -136,33 +209,13 @@ def hash_grid_encoding(n_input_dims: int = 3, n_levels: int = 16,
             key, (n_levels * H, F), jnp.float32, -init_scale, init_scale)}
 
     def _level_setup(x, l):
-        r = res[l]
-        xl = x * r                                         # [0, r]
-        i0 = jnp.floor(xl).astype(jnp.int32)
-        i0 = jnp.clip(i0, 0, r - 1)
-        return i0, xl - i0                                 # int corner, frac
+        return _grid_level_setup(x, res[l])
 
     def _corner_idx(i0, corner, l):
-        c = i0 + corner                                    # (…,3)
-        if dense[l]:
-            r = res[l]
-            idx = (c[..., 0] * (r + 1) + c[..., 1]) * (r + 1) + c[..., 2]
-        else:
-            idx = _hash_coords(c, H)
-        return idx + l * H
+        return _grid_corner_idx(i0, corner, l, res, dense, H)
 
     def _exact(table, x):
-        outs = []
-        for l in range(L):
-            i0, w = _level_setup(x, l)
-            feats = 0.0
-            for corner in _CORNERS:
-                wc = jnp.prod(jnp.where(corner.astype(bool), w, 1.0 - w),
-                              axis=-1)                     # (…,)
-                feats = feats + table[_corner_idx(i0, corner, l)] \
-                    * wc[..., None]
-            outs.append(feats)
-        return jnp.concatenate(outs, axis=-1)
+        return _grid_exact(table, x, res, dense, H)
 
     @jax.custom_vjp
     def _enc_sg(table, x, u):

@@ -507,17 +507,51 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     return counts, data, ids, n_drop
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("resolution", "tile_h", "tile_w", "k",
-                                    "interpret", "with_z", "corner",
-                                    "full_h"))
 def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                          resolution: Tuple[int, int], tile_h: int = 8,
                          tile_w: int = 128, k: Optional[int] = None,
                          interpret: bool = False, with_z: bool = False,
                          corner: bool = False,
                          with_g=None, row0=None,
-                         full_h: Optional[int] = None):
+                         full_h: Optional[int] = None,
+                         drops_out: Optional[list] = None):
+    """Public wrapper: resolves the overflow-warning decision at TRACE time
+    and passes it as a static jit arg, so TSSPLAT_OVERFLOW flips take
+    effect on the next trace instead of silently doing nothing (the
+    compiled-program cache otherwise never re-reads the env — ADVICE r3).
+
+    ``drops_out``: optional list; when given, the per-view (B,) i32
+    dropped-candidate-slot counters are appended to it (computed
+    unconditionally — they are nearly free) so callers can thread them out
+    of the program as a step OUTPUT and check them host-side on backends
+    that reject debug callbacks (axon)."""
+    want_drops = drops_out is not None
+    out = _rasterize_ids_pallas_jit(
+        pos_clip, tri, resolution=resolution, tile_h=tile_h, tile_w=tile_w,
+        k=k, interpret=interpret, with_z=with_z, corner=corner,
+        with_g=with_g, row0=row0, full_h=full_h,
+        overflow_warn=overflow_checks_enabled(), with_drops=want_drops)
+    if want_drops:
+        out, n_drop = out[:-1], out[-1]
+        drops_out.append(n_drop)
+        if len(out) == 1:
+            return out[0]
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("resolution", "tile_h", "tile_w", "k",
+                                    "interpret", "with_z", "corner",
+                                    "full_h", "overflow_warn", "with_drops"))
+def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
+                              resolution: Tuple[int, int], tile_h: int = 8,
+                              tile_w: int = 128, k: Optional[int] = None,
+                              interpret: bool = False, with_z: bool = False,
+                              corner: bool = False,
+                              with_g=None, row0=None,
+                              full_h: Optional[int] = None,
+                              overflow_warn: bool = False,
+                              with_drops: bool = False):
     """Winning (triangle id + 1) per pixel, (B,H,W) int32 — Pallas TPU path.
 
     Same contract and capacity heuristic as rasterize_ids_tiled; set
@@ -586,7 +620,7 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
             p, tri, resolution, tile_h, tile_w, k, corner=corner,
             edge_nbrs=with_g, row0=row0, full_h=full_h, flat=True))
         counts, starts, npool, tbl, vals, pool, n_drop = prep(pos_clip)
-        if overflow_checks_enabled():
+        if overflow_warn:
             emit_overflow_warning(n_drop, "pallas-flat")   # unbatched here
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -621,7 +655,7 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
             edge_nbrs=with_g, shared=shared_tbl, row0=row0,
             full_h=full_h))
         counts, data, ids, n_drop = prep(pos_clip)       # (B,ntiles,…)
-        if overflow_checks_enabled():
+        if overflow_warn:
             emit_overflow_warning(n_drop, "pallas-dense")  # unbatched here
 
         if shared_tbl:
@@ -663,11 +697,11 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         # keeps W on the VPU lane axis; the row-major (B,H,W,16) layout put
         # 16 in lanes and padded every AA-chain intermediate 8x
         out, zout, g = results
-        return out, zout, g
+        return (out, zout, g, n_drop) if with_drops else (out, zout, g)
     out, zout = results
     if with_z:
-        return out, zout
-    return out
+        return (out, zout, n_drop) if with_drops else (out, zout)
+    return (out, n_drop) if with_drops else out
 
 
 # ---------------------------------------------------------------------------

@@ -219,20 +219,38 @@ def overflow_checks_enabled() -> bool:
     time ("axon_pjrt does not support host send/recv callbacks"), so a
     program merely containing jax.debug.print — even in an untaken cond
     branch — fails to build there. On that backend the trainer's periodic
-    capacity revalidation (train.py export block) is the overflow net."""
+    capacity revalidation (train.py export block) is the overflow net.
+
+    This is a TRACE-time decision: compiled programs bake it in, so an env
+    flip takes effect at the next trace (rasterize_ids_pallas threads it as
+    a static jit arg so that actually happens), not on cached executables.
+    Backend-independent detection lives on the STEP-OUTPUT path instead:
+    callers pass ``drops_out`` to the rasterize entry points and check the
+    returned counters host-side (train.py does, at log_every cadence)."""
     mode = os.environ.get("TSSPLAT_OVERFLOW", "warn")
     if mode == "off":
         return False
     if mode == "force":
         return True
+    return _backend_hosts_debug_callbacks()
+
+
+@functools.lru_cache(maxsize=None)
+def _backend_hosts_debug_callbacks() -> bool:
     try:
         # the axon plugin reports platform 'tpu'; only its registered
         # backend name / platform_version reveal it
         import jax._src.xla_bridge as xb
-        if "axon" in xb.backends():
-            b = xb.get_backend()
-            return "axon" not in (getattr(b, "platform_version", "") or "")
+        if "axon" not in xb.backends():
+            return True
+    except Exception:
+        # JAX-internal API drift must not silently disable the overflow
+        # net everywhere — default to ON; if this ever misfires on axon
+        # the compile error there is loud, not silent (ADVICE r3)
         return True
+    try:
+        b = jax._src.xla_bridge.get_backend()
+        return "axon" not in (getattr(b, "platform_version", "") or "")
     except Exception:
         return False
 
@@ -293,7 +311,8 @@ def _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w,
 
 
 def _rasterize_ids_tiled_one_view(pos, tri, resolution, tile_h, tile_w, k,
-                                  ck, row0=0, full_h=None):
+                                  ck, row0=0, full_h=None,
+                                  want_drops=False):
     H, W = resolution
     F = tri.shape[0]
     sx, sy, sz, v_ok = _screen(pos)
@@ -307,7 +326,8 @@ def _rasterize_ids_tiled_one_view(pos, tri, resolution, tile_h, tile_w, k,
     # the static capacity lose the highest-indexed triangles
     n_drop = jnp.sum(jnp.maximum(
         jnp.sum(ov.astype(jnp.int32), axis=-1) - min(k, F), 0)) \
-        if overflow_checks_enabled() else jnp.zeros((), jnp.int32)
+        if (want_drops or overflow_checks_enabled()) \
+        else jnp.zeros((), jnp.int32)
 
     # static top-K select: sort (tri_id if overlapping else F) ascending
     cand = jnp.where(ov, jnp.arange(F, dtype=jnp.int32)[None, :],
@@ -394,7 +414,8 @@ def _rasterize_ids_tiled_one_view(pos, tri, resolution, tile_h, tile_w, k,
 def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                         resolution: Tuple[int, int], tile_h: int = 8,
                         tile_w: int = 128, k: Optional[int] = None,
-                        ck: int = 16, viewport=None) -> jnp.ndarray:
+                        ck: int = 16, viewport=None,
+                        drops_out: Optional[list] = None) -> jnp.ndarray:
     """Tile-binned visibility search: (B,H,W) int32 winning ids (+1).
 
     ``k`` is the static per-tile candidate capacity (default heuristic:
@@ -405,6 +426,9 @@ def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     H, W = resolution
     row0, full_h = viewport if viewport is not None else (0, None)
     if H % tile_h or W % tile_w:
+        # brute-force path: never drops
+        if drops_out is not None:
+            drops_out.append(jnp.zeros((pos_clip.shape[0],), jnp.int32))
         return rasterize_ids(pos_clip, tri, resolution, viewport=viewport)
     F = tri.shape[0]
     if k is None:
@@ -416,10 +440,13 @@ def rasterize_ids_tiled(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     f = functools.partial(_rasterize_ids_tiled_one_view, tri=tri,
                           resolution=resolution, tile_h=tile_h,
                           tile_w=tile_w, k=k, ck=ck, row0=row0,
-                          full_h=full_h)
+                          full_h=full_h,
+                          want_drops=drops_out is not None)
     ids, n_drop = jax.lax.map(f, pos_clip)
     if overflow_checks_enabled():
         emit_overflow_warning(n_drop, "xla-tiled")       # unbatched here
+    if drops_out is not None:
+        drops_out.append(n_drop)
     return ids
 
 
@@ -685,7 +712,8 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
               resolution: Tuple[int, int], chunk: int = 64,
               ids: Optional[jnp.ndarray] = None,
               method: str = "auto", corner: bool = False,
-              k: Optional[int] = None, viewport=None) -> jnp.ndarray:
+              k: Optional[int] = None, viewport=None,
+              drops_out: Optional[list] = None) -> jnp.ndarray:
     """Full rasterization: (B,H,W,4) = (u, v, z/w, id+1).
 
     ``ids`` may be supplied by an external visibility kernel; otherwise the
@@ -706,14 +734,15 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                                    and on_tpu)) and viewport is None:
             from .pallas_raster import rasterize_ids_pallas
             ids = rasterize_ids_pallas(pos_clip, tri, resolution,
-                                       corner=corner, k=k)
+                                       corner=corner, k=k,
+                                       drops_out=drops_out)
         elif method in ("tiled", "pallas") or (method == "auto" and aligned
                                                and big):
             ids = rasterize_ids_tiled(pos_clip, tri, resolution, k=k,
-                                      viewport=viewport)
+                                      viewport=viewport, drops_out=drops_out)
         else:
             ids = rasterize_ids(pos_clip, tri, resolution, chunk,
-                                viewport=viewport)
+                                viewport=viewport)  # brute force: no drops
     return _shade_rast(pos_clip, tri, ids, resolution, corner=corner,
                        viewport=viewport)
 
@@ -723,7 +752,8 @@ def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                          method: str = "auto",
                          corner: bool = False,
                          k: Optional[int] = None,
-                         viewport=None) -> jnp.ndarray:
+                         viewport=None,
+                         drops_out: Optional[list] = None) -> jnp.ndarray:
     """Silhouette-only rasterization: (B,H,W,4) with u=v=0 and
     non-differentiable (z, id) channels.
 
@@ -742,11 +772,11 @@ def rasterize_silhouette(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         from .pallas_raster import rasterize_ids_pallas
         ids, z = rasterize_ids_pallas(pos_clip, tri, resolution, with_z=True,
                                       corner=corner, k=k, row0=vp[0],
-                                      full_h=vp[1])
+                                      full_h=vp[1], drops_out=drops_out)
         zero = jnp.zeros_like(z)
         return jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
     rast = rasterize(pos_clip, tri, resolution, method=method, corner=corner,
-                     k=k, viewport=viewport)
+                     k=k, viewport=viewport, drops_out=drops_out)
     rast = jax.lax.stop_gradient(rast)
     return rast.at[..., 0:2].set(0.0)
 
@@ -755,7 +785,8 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
                                    method: str = "auto",
                                    corner: bool = False,
                                    k: Optional[int] = None,
-                                   viewport=None):
+                                   viewport=None,
+                                   drops_out: Optional[list] = None):
     """Silhouette rasterization + the winner's differentiable AA rows.
 
     On the Pallas path the kernel emits the per-pixel winner rows directly
@@ -774,15 +805,16 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
         ids, z, g_kernel = rasterize_ids_pallas(pos_clip, tri, resolution,
                                                 corner=corner,
                                                 with_g=edge_nbrs, k=k,
-                                                row0=vp[0], full_h=vp[1])
+                                                row0=vp[0], full_h=vp[1],
+                                                drops_out=drops_out)
         zero = jnp.zeros_like(z)
         rast = jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
         g = winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel,
                                corner)
         return rast, g
     return rasterize_silhouette(pos_clip, tri, resolution, method=method,
-                                corner=corner, k=k,
-                                viewport=viewport), None
+                                corner=corner, k=k, viewport=viewport,
+                                drops_out=drops_out), None
 
 
 def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray,

@@ -37,6 +37,13 @@ class RenderOutput(NamedTuple):
     geo_regularization: jax.Array
     normal: Optional[jax.Array] = None
     depth: Optional[jax.Array] = None
+    # per-view dropped-candidate-slot counters (B,) i32 from the binned
+    # visibility search: non-zero means tiles overflowed their static
+    # capacity and the silhouette gradient is WRONG (nvdiffrast never
+    # drops, reference renderers/mesh_rasterizer.py:103-104). Threaded out
+    # as a step output so the trainer can check host-side on backends that
+    # reject debug callbacks (axon). Zeros on never-drop paths.
+    n_drop: Optional[jax.Array] = None
 
 
 def _apply_material_chunked(material_fn, params, positions, it,
@@ -156,15 +163,17 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
     silhouette_only = (only_alpha and not fit_normal and not fit_depth
                       and rast_ids is None)
     g_rows = None
+    drops = []
     if silhouette_only:
         # coverage gradients come only from the antialias pass — skip the
         # differentiable barycentric shading entirely; on TPU the kernel
         # also emits the winner's AA rows (no forward row gather)
         rast, g_rows = rasterize_silhouette_with_rows(
-            pos_clip, tri_c, res, geom.edge_nbrs, corner=True, k=tile_k)
+            pos_clip, tri_c, res, geom.edge_nbrs, corner=True, k=tile_k,
+            drops_out=drops)
     else:
         rast = rasterize(pos_clip, tri_c, res, chunk=chunk, ids=rast_ids,
-                         corner=True, k=tile_k)
+                         corner=True, k=tile_k, drops_out=drops)
 
     # silhouette: coverage channel is (tri_id + 1), clamp to [0,1] then AA —
     # the sole source of coverage gradients (reference :106-108)
@@ -202,8 +211,11 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
         depth = jnp.linalg.norm(wp - campos[:, None, None, :], axis=-1,
                                 keepdims=True)
 
+    B = mvp.shape[0]
+    n_drop = sum(drops) if drops else jnp.zeros((B,), jnp.int32)
+    n_drop = jax.lax.stop_gradient(jnp.broadcast_to(n_drop, (B,)))
     return RenderOutput(shaded=shaded, geo_regularization=fwd.energy,
-                        normal=normal, depth=depth)
+                        normal=normal, depth=depth, n_drop=n_drop)
 
 
 class MeshRasterizer:

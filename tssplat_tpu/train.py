@@ -158,7 +158,9 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             a = color_ref[..., -1:]
             img_loss = img_loss + normal_weight * jnp.mean(
                 (out.normal * a - batch["n"][..., :3] * a) ** 2)
-        return img_loss, out.geo_regularization
+        n_drop = jnp.sum(out.n_drop) if out.n_drop is not None \
+            else jnp.zeros((), jnp.int32)
+        return img_loss, out.geo_regularization, n_drop
 
     _VIEW_KEYS = ("mvp", "mv", "campos", "img", "background", "n", "d",
                   "view_idx")
@@ -241,17 +243,20 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             # each view's pixel rows across the mesh's 'sp' axis under
             # shard_map — exact loss incl. gradients (tests/test_spatial.py)
             from .parallel.spatial import spatial_geometry_loss
-            return spatial_geometry_loss(tet_v, statics, batch, it, sp_mesh,
-                                         resolution, is_ortho=is_ortho,
-                                         tile_k=tile_k)
+            loss, (il, rg) = spatial_geometry_loss(
+                tet_v, statics, batch, it, sp_mesh, resolution,
+                is_ortho=is_ortho, tile_k=tile_k)
+            # drop counters not yet threaded through the shard_map slabs
+            return loss, (il, rg, jnp.zeros((), jnp.int32))
 
         # pre-chunked batches (mvp (n_chunks, chunk, 4, 4)) come from
         # shard_batch(view_chunk=…): the chunk axis is device-sharded and a
         # scan over axis 0 runs without per-step resharding (an in-jit
         # reshape of a view-sharded axis would all-to-all the batch)
+        zero_drop = jnp.zeros((), jnp.int32)
         if not only_alpha and texture_sample_px:
             img_loss, reg = _sampled_texture_loss(params, batch, it)
-            return img_loss * 100.0, (img_loss, reg)
+            return img_loss * 100.0, (img_loss, reg, zero_drop)
 
         pre_chunked = batch["mvp"].ndim == 4
         B = batch["mvp"].shape[0]
@@ -272,11 +277,13 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
 
             @jax.checkpoint
             def one_chunk(carry, cb):
-                il, _ = _img_loss(tet_v, mat_params, cb, it,
-                                  with_energy=False)
-                return carry + il, None
+                il, _, nd = _img_loss(tet_v, mat_params, cb, it,
+                                      with_energy=False)
+                return (carry[0] + il, carry[1] + nd), None
 
-            total, _ = jax.lax.scan(one_chunk, jnp.zeros(()), chunked)
+            (total, n_drop), _ = jax.lax.scan(
+                one_chunk, (jnp.zeros(()), jnp.zeros((), jnp.int32)),
+                chunked)
             img_loss = total / n_chunks
             if only_alpha and statics.energy is not None:
                 from .geometry.tet_geometry import geometry_forward
@@ -284,15 +291,15 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             else:
                 reg = 0.0
         else:
-            img_loss, reg = _img_loss(tet_v, mat_params, batch, it,
-                                      with_energy=only_alpha)
+            img_loss, reg, n_drop = _img_loss(tet_v, mat_params, batch, it,
+                                              with_energy=only_alpha)
         if not only_alpha:
             reg = 0.0
         loss = img_loss * 100.0 + reg
-        return loss, (img_loss, reg)
+        return loss, (img_loss, reg, n_drop)
 
     def step(state: TrainState, batch, it):
-        (loss, (img_loss, reg)), grads = jax.value_and_grad(
+        (loss, (img_loss, reg, n_drop)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, it)
         updates, opt_state = update_fn(grads, state.opt_state, state.params)
         params = apply_updates(state.params, updates)
@@ -308,7 +315,7 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             best_loss=jnp.where(better, loss, state.best_loss),
             best_iter=jnp.where(better, it, state.best_iter).astype(jnp.int32),
             best_params=best_params)
-        return new_state, (loss, img_loss, reg)
+        return new_state, (loss, img_loss, reg, n_drop)
 
     if batch_sharding is not None:
         if view_chunk:
@@ -405,6 +412,22 @@ def train(cfg):
         material = load_material(cfg.material_type)(cfg.material)
         material_fn = material.apply_fn
 
+    # multi-host: every process must feed ITS OWN rank's view slice — a
+    # config that omits data.rank would make all hosts load rank 0's views
+    # and shard_batch would silently assemble a global batch of duplicates
+    # (rank-1+ views never trained on). Default the rank to the process
+    # index; reject an explicit mismatch.
+    if jax.process_count() > 1:
+        cfg_rank = cfg.data.get("rank", None)
+        if cfg_rank is None:
+            cfg.data["rank"] = jax.process_index()
+        elif int(cfg_rank) != jax.process_index():
+            raise ValueError(
+                f"data.rank={cfg_rank} != jax.process_index()="
+                f"{jax.process_index()}: in a multi-host run each process "
+                f"must load its own rank's slice (omit data.rank to default "
+                f"it per process)")
+
     dataloader = load_dataloader(cfg.dataloader_type)(cfg.data)
     num_forward_per_iter = dataloader.num_forward_per_iter
     total_iters = int(cfg.total_num_iter)
@@ -484,9 +507,14 @@ def train(cfg):
         # (SURVEY §7.7's screen-tile axis; composes with view DP)
         from .parallel.spatial import spatial_mesh
         n_view_ax = max(1, n_dev // n_sp)
+        # single-host only: shard_spatial_train_batch uses plain
+        # jax.device_put, which cannot place onto a process-spanning mesh
+        # (non-addressable devices) — disable cleanly instead of crashing
+        # at the first step
         ok = (fitting_stage == "geometry" and not bool(cfg.get("fit_depth",
                                                                False))
               and not bool(cfg.get("fit_normal", False))
+              and jax.process_count() == 1
               and n_dev % n_sp == 0 and batch_size % n_view_ax == 0
               and resolution % n_sp == 0 and (resolution // n_sp) % 8 == 0)
         if ok:
@@ -497,7 +525,8 @@ def train(cfg):
         else:
             print(f"spatial={n_sp} incompatible (stage={fitting_stage}, "
                   f"devices={n_dev}, batch={batch_size}, res={resolution}, "
-                  f"fit_depth/fit_normal must be off) — disabled", flush=True)
+                  f"fit_depth/fit_normal must be off, single-host only) — "
+                  f"disabled", flush=True)
     # multi-host: the loader's (world_size, rank) seam feeds per-process
     # view slices; the global batch (batch_size x world_size) shards over
     # the process-spanning mesh (shard_batch assembles it in rank order)
@@ -617,10 +646,13 @@ def train(cfg):
     n_steps = 0
     for it in range(start_iter, total_iters):
         if stop_requested["flag"]:
-            from .utils.checkpoint import save_checkpoint
-            save_checkpoint(ckpt_dir, it - 1, jax.device_get(state))
-            print(f"preempted: checkpoint written at iter {it - 1} "
-                  f"(resume with resume=true)", flush=True)
+            # write-once on process 0 (state is replicated): concurrent
+            # writes to a shared output path can corrupt the resume ckpt
+            if is_main:
+                from .utils.checkpoint import save_checkpoint
+                save_checkpoint(ckpt_dir, it - 1, jax.device_get(state))
+                print(f"preempted: checkpoint written at iter {it - 1} "
+                      f"(resume with resume=true)", flush=True)
             break
         # periodic remeshing: re-tetrahedralize the deformed volume and
         # restart the optimizer on the fresh topology (the reference stubs
@@ -662,7 +694,7 @@ def train(cfg):
             elif sp_mesh is not None:
                 from .parallel.spatial import shard_spatial_train_batch
                 batch = shard_spatial_train_batch(batch, sp_mesh)
-            state, (loss, img_loss, reg) = step_fn(state, batch, it)
+            state, (loss, img_loss, reg, n_drop) = step_fn(state, batch, it)
             n_steps += 1
             meter.update(1, rays_per_forward)
 
@@ -670,6 +702,15 @@ def train(cfg):
             print("iter=%4d, img_loss=%.4f, reg_loss=%.4f [%s]"
                   % (it, float(img_loss), float(reg), meter.summary()),
                   flush=True)
+            # backend-independent overflow net (works on axon, which
+            # rejects the kernel-side jax.debug callbacks): the binned
+            # rasterizer's dropped-slot counters ride the step output
+            if int(n_drop) > 0:
+                print(f"WARNING: rasterizer tile-capacity overflow at iter "
+                      f"{it}: {int(n_drop)} candidate slots dropped — "
+                      f"silhouette gradients are wrong; capacity will be "
+                      f"revalidated at the next export (raise tile_k / "
+                      f"validate_tile_capacity to fix now)", flush=True)
 
         if is_main and checkpoint_every and it and it % checkpoint_every == 0:
             from .utils.checkpoint import save_checkpoint
@@ -714,14 +755,14 @@ def train(cfg):
                         save_npy=True)
     if material is not None:
         material.params = state.params
-        material.export(os.path.join(out_path, "final"), "material")
-        # textured OBJ bake (reference trainer.py:187-189 ->
-        # renderers/mesh_rasterizer.py:165-241)
-        from .materials.export import export_textured_obj
-        material.params = state.params
-        export_textured_obj(geometry, material,
-                            os.path.join(out_path, "final"), "material",
-                            step=total_iters)
+        if is_main:
+            material.export(os.path.join(out_path, "final"), "material")
+            # textured OBJ bake (reference trainer.py:187-189 ->
+            # renderers/mesh_rasterizer.py:165-241)
+            from .materials.export import export_textured_obj
+            export_textured_obj(geometry, material,
+                                os.path.join(out_path, "final"), "material",
+                                step=total_iters)
     return state, geometry
 
 
