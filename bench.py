@@ -154,11 +154,29 @@ def main():
             geo.statics, jnp.array(geo.tet_v), batch["mvp"], batch["img"],
             res)
         batch["view_idx"] = jnp.arange(n_views, dtype=jnp.int32)
+    # exact texture stage: the frozen-geometry fast path (scatter-free
+    # hash-table gradient) is the production default; BENCH_TEX_DENSE=1
+    # benches the old dense autodiff path instead
+    tex_exact_loss = None
+    if stage == "texture" and not sample_px \
+            and not int(os.environ.get("BENCH_TEX_DENSE", 0)):
+        from tssplat_tpu.materials.exact_stage import (
+            build_texture_exact_cache, build_texture_exact_loss)
+        cache_e = build_texture_exact_cache(
+            geo, material, {"mvp": batch["mvp"], "img": batch["img"],
+                            "background": batch["background"]}, res)
+        if cache_e is not None:
+            tex_exact_loss = build_texture_exact_loss(material, geo.statics,
+                                                      cache_e)
+            import sys
+            print(f"exact texture fast path: P={cache_e['P']}",
+                  file=sys.stderr, flush=True)
     step = make_train_step(geo.statics, update_fn, fitting_stage=stage,
                            resolution=res, fit_depth=False, is_ortho=False,
                            view_chunk=view_chunk, material_fn=material_fn,
                            texture_sample_px=sample_px,
                            texture_cache=tex_cache,
+                           texture_exact_loss=tex_exact_loss,
                            tet_v_frozen=jnp.array(geo.tet_v))
     state = TrainState(params=params, opt_state=init_fn(params),
                        best_loss=jnp.asarray(jnp.inf, jnp.float32),

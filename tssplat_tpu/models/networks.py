@@ -272,6 +272,95 @@ def hash_grid_encoding(n_input_dims: int = 3, n_levels: int = 16,
     return Module(init_fn, apply_fn, n_levels * F, n_input_dims)
 
 
+def build_hash_grad_buckets(xc: np.ndarray, n_levels: int = 16,
+                            n_features_per_level: int = 2,
+                            log2_hashmap_size: int = 19,
+                            base_resolution: int = 16,
+                            per_level_scale: float = 1.447269237440378,
+                            **_ignored) -> dict:
+    """Static bucketing of a FROZEN point set's hash-table contributions.
+
+    The exact texture stage's bottleneck is the hash-grid TABLE gradient:
+    autodiff turns the (levels x corners) gathers into 128 scatter-adds
+    over every pixel — TPU scatter costs ~70 ns/ROW regardless of fusion
+    (BASELINE.md), ~10 s/step at 8x512^2. But the texture stage never
+    moves the geometry (reference trainer.py:44-48 freezes it), so the
+    (point, level, corner) -> table-row map is STATIC. Precompute it once:
+    per level, sort the 8N contributions by table row and record
+      src   (8N,) i32 — contributing point of each sorted slot
+      w     (8N,) f32 — its trilinear weight
+      start/end (2^H,) i32 — each table row's slot range
+    The backward then needs NO scatter at all: gather cotangent rows by
+    ``src``, weight, prefix-sum, and difference the prefix at the static
+    row boundaries (bucketed_hash_encoding). Build cost: one numpy argsort
+    per level, host-side, at stage start.
+
+    ``xc`` must be the CONTRACTED [0,1]^3 positions in the exact order the
+    encoding will be applied to at step time."""
+    res, dense, H = _grid_levels(n_levels, base_resolution, per_level_scale,
+                                 log2_hashmap_size)
+    idx, wgt = _grid_corner_indices_np(np.asarray(xc, np.float32),
+                                       res, dense, H)
+    levels = []
+    for l in range(n_levels):
+        flat_idx = (idx[:, l, :] - l * H).reshape(-1)      # [0, H)
+        order = np.argsort(flat_idx, kind="stable")
+        src = (order // 8).astype(np.int32)                # point row
+        w_sorted = wgt[:, l, :].reshape(-1)[order].astype(np.float32)
+        counts = np.bincount(flat_idx, minlength=H)
+        end = np.cumsum(counts).astype(np.int32)           # (H,)
+        start = np.concatenate([[0], end[:-1]]).astype(np.int32)
+        levels.append({"src": src, "w": w_sorted,
+                       "start": start, "end": end})
+    return {"levels": levels, "n": int(xc.shape[0]), "res": res,
+            "dense": dense, "H": H, "L": n_levels,
+            "F": n_features_per_level}
+
+
+def bucketed_hash_encoding(buckets: dict):
+    """Exact hash-grid apply whose TABLE gradient uses the static buckets
+    (see build_hash_grad_buckets): scatter-free backward built from row
+    gathers + per-level prefix sums + static boundary differences. The
+    position gradient stays exact-by-autodiff (DCE'd when positions are
+    frozen upstream — the texture stage). Returns apply(params, x) where
+    ``x`` MUST be the (…,3) contracted positions the buckets were built
+    from, in the same flattened order."""
+    res, dense, H = buckets["res"], buckets["dense"], buckets["H"]
+    L, F = buckets["L"], buckets["F"]
+    lv = [{k: jnp.asarray(v) for k, v in d.items()}
+          for d in buckets["levels"]]
+
+    @jax.custom_vjp
+    def enc(table, x):
+        return _grid_exact(table, x, res, dense, H)
+
+    def fwd(table, x):
+        return _grid_exact(table, x, res, dense, H), (table, x)
+
+    def bwd(resid, d_out):
+        table, x = resid
+        d_feats = d_out.reshape(-1, L, F)                  # (N,L,F)
+        slices = []
+        for l in range(L):
+            ct_l = d_feats[:, l, :]                        # (N,F)
+            vals = ct_l[lv[l]["src"]] * lv[l]["w"][:, None]  # (8N,F)
+            csum = jnp.concatenate(
+                [jnp.zeros((1, F), vals.dtype), jnp.cumsum(vals, axis=0)])
+            seg = csum[lv[l]["end"]] - csum[lv[l]["start"]]  # (H,F)
+            slices.append(seg)
+        d_table = jnp.concatenate(slices, axis=0)          # (L*H,F)
+        _, vjp = jax.vjp(lambda xx: _grid_exact(table, xx, res, dense, H), x)
+        (d_x,) = vjp(d_out)
+        return d_table, d_x
+
+    enc.defvjp(fwd, bwd)
+
+    def apply_fn(params, x, step=None, grad_key=None):
+        return enc(params["table"], x)
+
+    return apply_fn
+
+
 def progressive_band_hash_grid(n_input_dims: int = 3, start_level: int = 4,
                                start_step: int = 0, update_steps: int = 500,
                                **kwargs) -> Module:

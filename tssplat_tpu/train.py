@@ -110,6 +110,7 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
                     material_fn=None, tet_v_frozen=None,
                     view_chunk: int = 0, tile_k: Optional[int] = None,
                     texture_sample_px: int = 0, texture_cache=None,
+                    texture_exact_loss=None,
                     batch_sharding=None, replicated_sharding=None,
                     sp_mesh=None):
     """Build the jitted train step. Static choices (stage, depth on/off,
@@ -254,6 +255,13 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
         # scan over axis 0 runs without per-step resharding (an in-jit
         # reshape of a view-sharded axis would all-to-all the batch)
         zero_drop = jnp.zeros((), jnp.int32)
+        if not only_alpha and texture_exact_loss is not None:
+            # frozen-geometry exact texture stage: full-image L1 + AA over
+            # ALL dataset views with a scatter-free hash-table gradient
+            # (materials/exact_stage.py); the batch is ignored — the
+            # shipped texture configs batch every view each forward
+            il, rg = texture_exact_loss(params, it)
+            return il * 100.0, (il, rg, zero_drop)
         if not only_alpha and texture_sample_px:
             img_loss, reg = _sampled_texture_loss(params, batch, it)
             return img_loss * 100.0, (img_loss, reg, zero_drop)
@@ -586,6 +594,30 @@ def train(cfg):
         print(f"texture cache: {texture_cache['positions'].shape[0]} views, "
               f"P={texture_cache['positions'].shape[1]} fg pixels", flush=True)
 
+    # exact texture fast path: same full-image L1 + AA semantics as the
+    # dense parity path, but with the frozen-geometry raster/foreground
+    # precomputed and a scatter-free hash-table gradient (0.102 -> usable
+    # it/s; see materials/exact_stage.py). Requires each forward to see
+    # every view (the shipped texture configs do) and a plain HashGrid.
+    texture_exact = None
+    if (fitting_stage == "texture"
+            and not int(cfg.get("texture_sample_px", 0))
+            and bool(cfg.get("texture_exact_fast", True))
+            and mesh is None and sp_mesh is None and n_proc == 1
+            and num_forward_per_iter == 1):
+        from .materials.exact_stage import (build_texture_exact_cache,
+                                            build_texture_exact_loss)
+        cache_e = build_texture_exact_cache(
+            geometry, material, dataloader.data_all, resolution,
+            is_ortho=is_ortho, tile_k=tile_k,
+            max_px=int(cfg.get("texture_exact_max_px", 4_000_000)))
+        if cache_e is not None:
+            texture_exact = build_texture_exact_loss(
+                material, geometry.statics, cache_e)
+            print(f"exact texture fast path: {cache_e['n']} views, "
+                  f"P={cache_e['P']} fg pixels/view, scatter-free table "
+                  f"gradient", flush=True)
+
     def get_step(fit_depth_on: bool):
         if fit_depth_on not in steps:
             kw = {}
@@ -603,6 +635,7 @@ def train(cfg):
                 tile_k=tile_k,
                 texture_sample_px=int(cfg.get("texture_sample_px", 0)),
                 texture_cache=texture_cache,
+                texture_exact_loss=texture_exact,
                 is_ortho=is_ortho, material_fn=material_fn,
                 tet_v_frozen=geometry.tet_v, **kw)
         return steps[fit_depth_on]
