@@ -255,3 +255,72 @@ def test_energy_with_sharded_tet_arrays_matches_replicated():
     scale = max(float(jnp.abs(gref).max()), 1e-12)
     np.testing.assert_allclose(np.asarray(g) / scale,
                                np.asarray(gref) / scale, atol=1e-5)
+
+
+def test_spatial_depth_normal_and_padded_slabs_match_unsharded():
+    """Round 4 (VERDICT r3 #7): the sharded geometry loss with DEPTH and
+    NORMAL terms on, at a resolution that does NOT split into 8-aligned
+    slabs (56 rows over 4 devices -> padded 16-row slabs), must equal the
+    unsharded production step — losses and updated params."""
+    import numpy as np
+    from tssplat_tpu.mesh.spheres import tet_sphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+    from tssplat_tpu.geometry.tet_geometry import TetMeshGeometry
+    from tssplat_tpu.train import make_train_step, TrainState
+    from tssplat_tpu.optim import adam_uniform, cosine_annealing_lr
+    from tssplat_tpu.parallel.spatial import (spatial_mesh,
+                                              shard_spatial_train_batch)
+
+    v, t = tet_sphere(0.12, radius=0.3)
+    geo = TetMeshGeometry(dict(
+        use_smooth_barrier=True,
+        smooth_barrier_param={"smooth_eng_coeff": 1e-3, "barrier_coeff": 1e-3,
+                              "increase_order_iter": 100}),
+        tetmesh=TetMesh(v, t))
+    res, B = 56, 2                       # 56 % (4*8) != 0: padded slabs
+    mvp, _, campos = fibonacci_views(B)
+    rng = np.random.default_rng(5)
+    batch = {"mvp": jnp.asarray(mvp, jnp.float32),
+             "campos": jnp.asarray(campos, jnp.float32),
+             "img": jnp.asarray(rng.uniform(0, 1, (B, res, res, 4)),
+                                jnp.float32),
+             "background": jnp.ones((B, res, res, 3), jnp.float32),
+             "d": jnp.asarray(rng.uniform(3, 5, (B, res, res, 1)),
+                              jnp.float32),
+             "n": jnp.asarray(rng.uniform(-1, 1, (B, res, res, 4)),
+                              jnp.float32)}
+
+    init_fn, update_fn = adam_uniform(
+        cosine_annealing_lr(0.2, 10), grad_limit=True,
+        grad_limit_values=(0.01, 0.01), grad_limit_iters=(10,))
+
+    def fresh_state():
+        p = jnp.array(geo.tet_v)
+        return TrainState(params=p, opt_state=init_fn(p),
+                          best_loss=jnp.asarray(jnp.inf, jnp.float32),
+                          best_iter=jnp.zeros((), jnp.int32),
+                          best_params=jnp.array(p))
+
+    mk = lambda **kw: make_train_step(  # noqa: E731
+        geo.statics, update_fn, fitting_stage="geometry", resolution=res,
+        fit_depth=True, fit_normal=True, normal_weight=10.0,
+        is_ortho=False, **kw)
+
+    step_ref = mk()
+    s_ref = fresh_state()
+    losses_ref = []
+    for it in range(2):
+        s_ref, (l, il, rg, _nd) = step_ref(s_ref, batch, it)
+        losses_ref.append(float(l))
+
+    mesh = spatial_mesh(2, 4)
+    step_sp = mk(sp_mesh=mesh)
+    s_sp = jax.device_put(
+        fresh_state(),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    batch_sp = shard_spatial_train_batch(batch, mesh)
+    for it in range(2):
+        s_sp, (l, il, rg, _nd) = step_sp(s_sp, batch_sp, it)
+        np.testing.assert_allclose(float(l), losses_ref[it], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_sp.params),
+                               np.asarray(s_ref.params), atol=1e-6)

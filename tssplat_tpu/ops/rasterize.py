@@ -730,11 +730,13 @@ def rasterize(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         aligned = H % 8 == 0 and W % 128 == 0
         big = tri.shape[0] >= 512
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        if (method == "pallas" or (method == "auto" and aligned and big
-                                   and on_tpu)) and viewport is None:
+        vp = viewport if viewport is not None else (None, None)
+        if method == "pallas" or (method == "auto" and aligned and big
+                                  and on_tpu):
             from .pallas_raster import rasterize_ids_pallas
             ids = rasterize_ids_pallas(pos_clip, tri, resolution,
                                        corner=corner, k=k,
+                                       row0=vp[0], full_h=vp[1],
                                        drops_out=drops_out)
         elif method in ("tiled", "pallas") or (method == "auto" and aligned
                                                and big):

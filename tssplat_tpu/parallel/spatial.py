@@ -5,10 +5,19 @@ screen tiles inside the rasterizer and primitive arrays in the energy.
 This module implements the first as row-slab sharding under shard_map —
 each device rasterizes a horizontal slab of every view it owns (plus an
 8-row halo so tile alignment and vertical antialias pairs survive the
-cut), computes antialiased silhouette error on its own rows only, and the
+cut), computes the per-pixel losses on its own rows only, and the
 per-device sums psum over the mesh. Gradients flow through shard_map's
 transpose (psum <-> identity), so the sharded loss is EXACTLY the
 unsharded loss — verified in tests/test_spatial.py including grads.
+
+Round 4 (VERDICT r3 #7): beyond the silhouette, the DEPTH and NORMAL
+losses are per-pixel and slab-local too (only the antialias stencil
+crosses rows, and it is already haloed) — spatial_geometry_loss now takes
+fit_depth/fit_normal and runs the full geometry-stage loss of
+train._img_loss under sharding. Resolutions that don't split into
+8-aligned slabs are handled with PADDED slabs: each device owns
+ceil8(H/n_sp) rows, rows past H are masked invalid everywhere, and
+shard_spatial_train_batch pads the image-like arrays to match.
 
 The viewport plumbing in ops/rasterize + ops/pallas_raster (slab-local
 binning, absolute-row pixel centers via a scalar-prefetched row offset)
@@ -38,99 +47,185 @@ def spatial_mesh(n_view: int, n_sp: int, devices=None) -> Mesh:
     return Mesh(devices, ("view", SPATIAL_AXIS))
 
 
+def slab_rows(resolution: int, n_sp: int) -> int:
+    """Rows each device owns: ceil(H / n_sp) rounded up to a multiple of 8
+    (tile alignment). H_loc * n_sp >= H; the excess rows are masked."""
+    h = -(-int(resolution) // n_sp)          # ceil
+    return -(-h // 8) * 8                    # round up to 8
+
+
 def spatial_silhouette_loss(tet_v, statics, mvp, target_alpha, mesh: Mesh,
                             resolution: int, is_ortho: bool = False,
                             method: str = "auto", tile_k=None):
     """Mean squared silhouette error, row-sharded across ``mesh``'s 'sp'
-    axis (and view-sharded across 'view' when present).
+    axis (back-compat wrapper over the full sharded loss)."""
+    se = _spatial_pixel_losses(
+        tet_v, statics, mvp, target_alpha[..., None], None, None,
+        mesh, resolution, is_ortho=is_ortho, method=method, tile_k=tile_k,
+        fit_depth=False, fit_normal=False)[0]
+    H = W = int(resolution)
+    return se / (mvp.shape[0] * H * W)
 
-    tet_v replicated; mvp (B,4,4) view-sharded; target_alpha (B,H,W)
-    sharded (view, sp) on (0, 1). Returns a replicated scalar equal to the
-    unsharded jnp.mean((alpha - target)^2).
+
+def _spatial_pixel_losses(tet_v, statics, mvp, target_img, target_d,
+                          target_n, mesh: Mesh, resolution: int, *,
+                          is_ortho: bool, method: str, tile_k,
+                          fit_depth: bool, fit_normal: bool,
+                          campos=None, normal_flip_z: bool = True):
+    """Per-pixel loss SUMS under ('view','sp') sharding: returns
+    (sil_se, depth_se, normal_se) scalars — sums over all views x true
+    image rows, psum'd over the mesh (replicated).
+
+    target_img is (B, H_pad, W, C) with alpha in the last channel
+    (pre-padded/sharded by shard_spatial_train_batch); target_d / target_n
+    likewise when their losses are on.
     """
-    from ..ops.rasterize import rasterize_silhouette_with_rows, antialias
+    from ..ops.rasterize import (rasterize_silhouette_with_rows, rasterize,
+                                 interpolate, antialias)
     from ..ops.transform import transform_pos
 
     H = W = int(resolution)
     n_sp = mesh.shape[SPATIAL_AXIS]
     has_view = "view" in mesh.axis_names
-    if H % n_sp or (H // n_sp) % 8:
-        raise ValueError(f"resolution {H} must split into 8-aligned slabs "
-                         f"over {n_sp} devices")
-    H_loc = H // n_sp
+    H_loc = slab_rows(H, n_sp)
     slab_h = H_loc + 2 * HALO
 
     F = statics.surface_fid.shape[0]
     tri_c = jnp.arange(3 * F, dtype=jnp.int32).reshape(F, 3)
-    B = mvp.shape[0]
+    need_shading = fit_depth or fit_normal
 
-    def local(tet_v, mvp_l, tgt_l):
+    v_nrm_fn = None
+    if fit_normal:
+        from ..geometry.tet_geometry import compute_vertex_normals
+
+        def v_nrm_fn(v_pos, tri):
+            n = compute_vertex_normals(v_pos, tri)
+            if normal_flip_z:   # Wonder3D/GSO convention (reference
+                n = n * jnp.asarray([1.0, 1.0, -1.0], n.dtype)  # :141-144)
+            return n
+
+    def local(tet_v, mvp_l, img_l, d_l, n_l, campos_l):
         i = jax.lax.axis_index(SPATIAL_AXIS)
         row0 = i * H_loc - HALO
         v_corner = tet_v[statics.corner_vid]
         pos_clip = transform_pos(mvp_l, v_corner, is_ortho=is_ortho)
-        rast, g = rasterize_silhouette_with_rows(
-            pos_clip, tri_c, (slab_h, W), statics.edge_nbrs, corner=True,
-            viewport=(row0, H), method=method, k=tile_k)
-        # halo rows outside the image are EMPTY in full-image semantics
+
         absr = row0 + jnp.arange(slab_h)
-        valid = (absr >= 0) & (absr < H)
-        vmask = valid.astype(rast.dtype)[None, :, None, None]
-        rast = rast * vmask
-        if g is not None:                                # channel-major
-            g = g * valid.astype(g.dtype)[None, None, :, None]
+        valid = (absr >= 0) & (absr < H)                 # halo + pad rows
+
+        if need_shading:
+            # differentiable barycentric shading needed for depth/normal
+            rast = rasterize(pos_clip, tri_c, (slab_h, W), corner=True,
+                             viewport=(row0, H), method=method, k=tile_k)
+            rast = rast * valid.astype(rast.dtype)[None, :, None, None]
+            g = None
+        else:
+            rast, g = rasterize_silhouette_with_rows(
+                pos_clip, tri_c, (slab_h, W), statics.edge_nbrs,
+                corner=True, viewport=(row0, H), method=method, k=tile_k)
+            rast = rast * valid.astype(rast.dtype)[None, :, None, None]
+            if g is not None:                            # channel-major
+                g = g * valid.astype(g.dtype)[None, None, :, None]
+
         alpha = jnp.clip(rast[..., 3:4], 0.0, 1.0)
         a = antialias(alpha, rast, pos_clip, tri_c, statics.edge_nbrs,
                       corner=True, g_precomputed=g, viewport=(row0, H),
                       row_valid=valid)
         own = a[:, HALO:HALO + H_loc, :, 0]
-        se = jnp.sum((own - tgt_l) ** 2)
-        se = jax.lax.psum(se, SPATIAL_AXIS)
+        own_valid = valid[HALO:HALO + H_loc].astype(own.dtype)[None, :, None]
+        tgt_a = img_l[..., -1]
+        sil = jnp.sum(((own - tgt_a) * own_valid) ** 2)
+
+        depth_se = jnp.zeros(())
+        normal_se = jnp.zeros(())
+        if need_shading:
+            a_gt = tgt_a * own_valid                     # (B,H_loc,W)
+            if fit_depth:
+                wp = interpolate(v_corner, rast, tri_c, corner=True)
+                d = jnp.linalg.norm(wp - campos_l[:, None, None, :],
+                                    axis=-1)
+                d_own = d[:, HALO:HALO + H_loc]
+                depth_se = jnp.sum(
+                    ((d_own - d_l[..., -1]) * a_gt) ** 2)
+            if fit_normal:
+                vn = v_nrm_fn(tet_v[statics.surface_vid],
+                              statics.surface_fid)
+                nr = interpolate(vn[statics.surface_fid.reshape(-1)], rast,
+                                 tri_c, corner=True)
+                n_own = nr[:, HALO:HALO + H_loc]
+                normal_se = jnp.sum(
+                    ((n_own - n_l[..., :3]) * a_gt[..., None]) ** 2)
+
+        out = jnp.stack([sil, depth_se, normal_se])
+        out = jax.lax.psum(out, SPATIAL_AXIS)
         if has_view:
-            se = jax.lax.psum(se, "view")
-        return se
+            out = jax.lax.psum(out, "view")
+        return out
 
     vspec = P("view") if has_view else P()
-    tspec = P("view", SPATIAL_AXIS) if has_view \
-        else P(None, SPATIAL_AXIS)
+    tspec = P("view", SPATIAL_AXIS) if has_view else P(None, SPATIAL_AXIS)
+    B = mvp.shape[0]
+    zero_img = jnp.zeros((B, H_loc * n_sp, W, 1), jnp.float32)
+    d_in = target_d if target_d is not None else zero_img
+    n_in = target_n if target_n is not None else zero_img
+    cam_in = campos if campos is not None else jnp.zeros((B, 3), jnp.float32)
     f = shard_map(local, mesh=mesh,
-                  in_specs=(P(), vspec, tspec),
+                  in_specs=(P(), vspec, tspec, tspec, tspec, vspec),
                   out_specs=P(), check_rep=False)
-    return f(tet_v, mvp, target_alpha) / (B * H * W)
+    out = f(tet_v, mvp, target_img, d_in, n_in, cam_in)
+    return out[0], out[1], out[2]
 
 
 def shard_spatial_batch(mvp, target_alpha, mesh: Mesh):
     """Place (mvp, target) onto the spatial mesh with the layouts
-    spatial_silhouette_loss expects."""
+    spatial_silhouette_loss expects (padding rows past H when the
+    resolution doesn't split into 8-aligned slabs)."""
     has_view = "view" in mesh.axis_names
     vspec = P("view") if has_view else P()
     tspec = P("view", SPATIAL_AXIS) if has_view \
         else P(None, SPATIAL_AXIS)
+    target_alpha = _pad_rows(target_alpha, mesh, axis=1)
     return (jax.device_put(mvp, NamedSharding(mesh, vspec)),
             jax.device_put(target_alpha, NamedSharding(mesh, tspec)))
 
 
 def spatial_geometry_loss(tet_v, statics, batch, it, mesh: Mesh,
                           resolution: int, is_ortho: bool = False,
-                          method: str = "auto", tile_k=None):
+                          method: str = "auto", tile_k=None,
+                          fit_depth: bool = False, fit_normal: bool = False,
+                          normal_weight: float = 10.0,
+                          texture_stage: bool = False):
     """Full geometry-stage training loss under ('view','sp') sharding.
 
     Identical semantics to the trainer's unsharded geometry loss
-    (train.py::_img_loss, reference trainer.py:98-115): silhouette MSE x20,
-    total = img_loss*100 + smooth/barrier energy. The silhouette term is
-    computed with shard_map row slabs (exact — see spatial_silhouette_loss);
-    the energy is replicated work on the replicated tet_v (it is ~3 ms on
-    the full mesh, far below the per-slab render, so sharding it over tets
-    would trade a cheap replicated compute for collectives on every
-    neighbor gather).
+    (train.py::_img_loss, reference trainer.py:98-115): silhouette MSE x20
+    (+ masked depth MSE x100 + masked normal MSE x normal_weight when
+    enabled), total = img_loss*100 + smooth/barrier energy. The per-pixel
+    terms are computed with shard_map row slabs (exact — see
+    _spatial_pixel_losses); the energy is replicated work on the
+    replicated tet_v (it is ~3 ms on the full mesh, far below the per-slab
+    render, so sharding it over tets would trade a cheap replicated
+    compute for collectives on every neighbor gather).
 
     Returns (loss, (img_loss, reg)).
     """
     from ..geometry.tet_geometry import geometry_forward
 
-    img_loss = spatial_silhouette_loss(
-        tet_v, statics, batch["mvp"], batch["img"][..., -1], mesh,
-        resolution, is_ortho=is_ortho, method=method, tile_k=tile_k) * 20.0
+    B = batch["mvp"].shape[0]
+    H = W = int(resolution)
+    denom = B * H * W
+    sil, dep, nrm = _spatial_pixel_losses(
+        tet_v, statics, batch["mvp"], batch["img"],
+        batch.get("d") if fit_depth else None,
+        batch.get("n") if fit_normal else None,
+        mesh, resolution, is_ortho=is_ortho, method=method, tile_k=tile_k,
+        fit_depth=fit_depth, fit_normal=fit_normal,
+        campos=batch.get("campos"))
+    img_loss = sil / denom * 20.0
+    if fit_depth:
+        img_loss = img_loss + 100.0 * dep / denom
+    if fit_normal:
+        img_loss = img_loss + normal_weight * nrm / (denom * 3)
     reg = geometry_forward(tet_v, statics, it).energy \
         if statics.energy is not None else jnp.zeros(())
     return img_loss * 100.0 + reg, (img_loss, reg)
@@ -141,10 +236,22 @@ _PIXEL_KEYS = ("img", "background", "n", "d")
 _VIEW_ONLY_KEYS = ("mvp", "mv", "campos", "view_idx")
 
 
+def _pad_rows(v, mesh: Mesh, axis: int = 1):
+    """Pad the row axis to n_sp * slab_rows(H) (no-op when aligned)."""
+    n_sp = mesh.shape[SPATIAL_AXIS]
+    H = v.shape[axis]
+    H_pad = slab_rows(H, n_sp) * n_sp
+    if H_pad == H:
+        return v
+    pad = [(0, 0)] * v.ndim
+    pad[axis] = (0, H_pad - H)
+    return jnp.pad(jnp.asarray(v), pad)
+
+
 def shard_spatial_train_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a loader batch onto a ('view','sp') mesh: image-like arrays
-    (B,H,W,C) shard (view, sp) on (0, 1); per-view arrays shard on 'view';
-    anything else replicates."""
+    (B,H,W,C) pad their row axis to the slab grid and shard (view, sp) on
+    (0, 1); per-view arrays shard on 'view'; anything else replicates."""
     has_view = "view" in mesh.axis_names
     vspec = P("view") if has_view else P()
     pspec = P("view", SPATIAL_AXIS) if has_view else P(None, SPATIAL_AXIS)
@@ -152,6 +259,7 @@ def shard_spatial_train_batch(batch: dict, mesh: Mesh) -> dict:
     for k, v in batch.items():
         if k in _PIXEL_KEYS:
             spec = pspec
+            v = _pad_rows(v, mesh, axis=1)
         elif k in _VIEW_ONLY_KEYS:
             spec = vspec
         else:

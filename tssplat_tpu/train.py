@@ -123,9 +123,9 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
     screen data per step here; chunking removes the ceiling).
     """
     only_alpha = fitting_stage == "geometry"
-    if sp_mesh is not None and (not only_alpha or fit_depth or fit_normal):
-        raise ValueError("spatial sharding supports the geometry stage's "
-                         "silhouette loss only (no fit_depth/fit_normal)")
+    if sp_mesh is not None and not only_alpha:
+        raise ValueError("spatial sharding supports the geometry stage "
+                         "only (the texture stage is view-DP territory)")
 
     def _img_loss(tet_v, mat_params, batch, it, with_energy):
         geom = statics if with_energy else statics._replace(energy=None)
@@ -246,7 +246,8 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             from .parallel.spatial import spatial_geometry_loss
             loss, (il, rg) = spatial_geometry_loss(
                 tet_v, statics, batch, it, sp_mesh, resolution,
-                is_ortho=is_ortho, tile_k=tile_k)
+                is_ortho=is_ortho, tile_k=tile_k, fit_depth=fit_depth,
+                fit_normal=fit_normal, normal_weight=normal_weight)
             # drop counters not yet threaded through the shard_map slabs
             return loss, (il, rg, jnp.zeros((), jnp.int32))
 
@@ -519,22 +520,19 @@ def train(cfg):
         # jax.device_put, which cannot place onto a process-spanning mesh
         # (non-addressable devices) — disable cleanly instead of crashing
         # at the first step
-        ok = (fitting_stage == "geometry" and not bool(cfg.get("fit_depth",
-                                                               False))
-              and not bool(cfg.get("fit_normal", False))
+        from .parallel.spatial import slab_rows
+        ok = (fitting_stage == "geometry"
               and jax.process_count() == 1
-              and n_dev % n_sp == 0 and batch_size % n_view_ax == 0
-              and resolution % n_sp == 0 and (resolution // n_sp) % 8 == 0)
+              and n_dev % n_sp == 0 and batch_size % n_view_ax == 0)
         if ok:
             sp_mesh = spatial_mesh(n_view_ax, n_sp)
             print(f"spatial sharding: ('view','sp') = ({n_view_ax},{n_sp}) "
                   f"over {n_view_ax * n_sp} devices (batch {batch_size}, "
-                  f"{resolution // n_sp}-row slabs)", flush=True)
+                  f"{slab_rows(resolution, n_sp)}-row slabs)", flush=True)
         else:
             print(f"spatial={n_sp} incompatible (stage={fitting_stage}, "
-                  f"devices={n_dev}, batch={batch_size}, res={resolution}, "
-                  f"fit_depth/fit_normal must be off, single-host only) — "
-                  f"disabled", flush=True)
+                  f"devices={n_dev}, batch={batch_size}, single-host "
+                  f"only) — disabled", flush=True)
     # multi-host: the loader's (world_size, rank) seam feeds per-process
     # view slices; the global batch (batch_size x world_size) shards over
     # the process-spanning mesh (shard_batch assembles it in rank order)
