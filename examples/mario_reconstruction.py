@@ -39,12 +39,20 @@ else:
     log("init spheres cached")
 
 iters = int(os.environ.get("MARIO_ITERS", 400))
+# MARIO_OPT=adam_uniform runs the reference parity optimizer with the
+# exact config/gso.yaml schedule (lr 0.2 cosine, staged 0.01 grad caps)
+opt = os.environ.get("MARIO_OPT", "adam")
+opt_cfg = ({"type": "adam", "lr": 2e-3} if opt == "adam" else
+           {"type": "adam_uniform", "lr": 0.2, "grad_limit": True,
+            "grad_limit_values": [0.01, 0.01], "grad_limit_iters": [iters]})
 # MARIO_LAP=volume runs the FEM-style volume-weighted Laplacian instead of
 # the combinatorial default — the biharmonic-convention sensitivity probe
 # (PARITY.md "Assumed": libpgo's exact diagonal convention is unknowable
 # offline; this measures how much the choice matters end-to-end)
 lap = os.environ.get("MARIO_LAP", "uniform")
-out = os.path.join(root, "out_adam" if lap == "uniform" else f"out_{lap}")
+tag = ("" if opt == "adam" else f"_{opt}") + \
+    ("" if lap == "uniform" else f"_{lap}")
+out = os.path.join(root, f"out_adam{tag}")
 cfg = ConfigDict({
   "fitting_stage": "geometry",
   "geometry_type": "TetMeshMultiSphereGeometry",
@@ -61,7 +69,7 @@ cfg = ConfigDict({
   "data": {"dataset_config": {"image_root": img},
            "world_size": 1, "rank": 0, "batch_size": 60,
            "total_num_iter": iters},
-  "optimizer": {"type": "adam", "lr": 2e-3},
+  "optimizer": opt_cfg,
   "output_path": out, "total_num_iter": iters,
   "use_permute_surface_v": False,
   "log_every": 100, "export_every": 10**6,
@@ -81,5 +89,5 @@ iou1 = silhouette_iou(svf, sf, v, f)
 log(f"silhouette IoU: init {iou0:.4f} -> final {iou1:.4f}")
 json.dump({"chamfer_init": cd0, "chamfer_final": cd1,
            "sil_iou_init": iou0, "sil_iou_final": iou1},
-          open(os.path.join(root, "metrics.json" if lap == "uniform"
-                            else f"metrics_{lap}.json"), "w"))
+          open(os.path.join(root, f"metrics{tag or ''}.json"
+                            if tag else "metrics.json"), "w"))
