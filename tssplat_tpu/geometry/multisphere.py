@@ -214,12 +214,17 @@ class TetMeshMultiSphereGeometry(_SphereBookkeepingMixin, TetMeshGeometry):
             os.makedirs(final_dir, exist_ok=True)
 
             if c.load_precomputed_tetwild_mesh:
-                # Path B.
+                # Path B. The reference reads the per-sphere index JSONs
+                # from the NEW run's output dir (tetmesh_geometry.py:350-353)
+                # — a footgun when the cache is reused across runs; fall
+                # back to the copies Path A writes NEXT TO the cached npys.
                 v = np.load(os.path.join(cache, "final_tet_v.npy"))
                 t = np.load(os.path.join(cache, "final_tet_t.npy"))
-                with open(os.path.join(final_dir, "spheres_vtx_idx.json")) as f:
+                src = final_dir if os.path.exists(
+                    os.path.join(final_dir, "spheres_vtx_idx.json")) else cache
+                with open(os.path.join(src, "spheres_vtx_idx.json")) as f:
                     vtx_idx = json.load(f)
-                with open(os.path.join(final_dir, "spheres_elem_idx.json")) as f:
+                with open(os.path.join(src, "spheres_elem_idx.json")) as f:
                     elem_idx = json.load(f)
             else:
                 # Path A: fresh build from key points.
@@ -244,10 +249,15 @@ class TetMeshMultiSphereGeometry(_SphereBookkeepingMixin, TetMeshGeometry):
                 os.makedirs(cache, exist_ok=True)
                 np.save(os.path.join(cache, "final_tet_v.npy"), v)
                 np.save(os.path.join(cache, "final_tet_t.npy"), t)
-                with open(os.path.join(final_dir, "spheres_vtx_idx.json"), "w") as f:
-                    json.dump(vtx_idx, f)
-                with open(os.path.join(final_dir, "spheres_elem_idx.json"), "w") as f:
-                    json.dump(elem_idx, f)
+                # index JSONs go to the run's final dir (reference layout)
+                # AND the cache dir so Path B works from a fresh output dir
+                for d in (final_dir, cache):
+                    with open(os.path.join(d, "spheres_vtx_idx.json"),
+                              "w") as f:
+                        json.dump(vtx_idx, f)
+                    with open(os.path.join(d, "spheres_elem_idx.json"),
+                              "w") as f:
+                        json.dump(elem_idx, f)
 
             self.all_spheres_vtx_idx = vtx_idx
             self.all_spheres_elem_idx = elem_idx
