@@ -65,21 +65,25 @@ def test_mario_end_to_end(tmp_path):
     })
     state, geometry = train(cfg)
 
-    import jax.numpy as jnp
-    from tssplat_tpu.data import MitsubaImgDataset
-    from tssplat_tpu.render.pipeline import render_views
-    ds = MitsubaImgDataset({"image_root": str(img)})
-    mvp = jnp.asarray(np.stack(ds.all_mvp_mats))
-    tgt = np.stack(ds.all_tgt_imgs)[..., 3]
-    out0 = render_views(jnp.asarray(geometry.tetmesh.vtx_init, jnp.float32),
-                        geometry.statics, mvp, 0, 128)
-    out1 = render_views(state.params, geometry.statics, mvp, iters, 128)
-
-    def mse(pred):
-        return float(np.mean((np.asarray(pred[..., 0]) - tgt) ** 2))
-
+    # quality gates in the REAL metrics (VERDICT r3 weak #3: the old
+    # "mse improves 3%" bar would miss a regression to half the quality):
+    # chamfer to the GT mario mesh must improve substantially from the
+    # sphere init, and silhouette IoU must rise. Calibration (CPU, this
+    # config): chamfer 0.0117 -> 0.0058 (-50%), IoU 0.551 -> 0.650.
+    from tssplat_tpu.tools.metrics import mesh_chamfer, silhouette_iou
+    svid = geometry.tetmesh.surface_vid
+    sf = geometry.tetmesh.surface_fid
+    v0 = np.asarray(geometry.tetmesh.vtx_init)[svid]
+    v1 = np.asarray(state.params)[svid]
+    cd0 = mesh_chamfer(v0, sf, v, f, n=8000)
+    cd1 = mesh_chamfer(v1, sf, v, f, n=8000)
+    iou0 = silhouette_iou(v0, sf, v, f, n_views=6, resolution=96)
+    iou1 = silhouette_iou(v1, sf, v, f, n_views=6, resolution=96)
+    print(f"mario golden: chamfer {cd0:.5f} -> {cd1:.5f}, "
+          f"IoU {iou0:.3f} -> {iou1:.3f}")
     assert np.isfinite(float(state.best_loss))
-    assert mse(out1.shaded) < 0.97 * mse(out0.shaded)
+    assert cd1 < 0.70 * cd0, (cd0, cd1)
+    assert iou1 > iou0 + 0.05, (iou0, iou1)
     assert os.path.exists(os.path.join(out, "final", "final.veg"))
 
 

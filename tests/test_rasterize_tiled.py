@@ -267,7 +267,7 @@ def test_pallas_pregather_path_matches(monkeypatch):
     monkeypatch.setattr(PR, "_SMEM_TBL_BUDGET", 0)
     # the budget is read inside the traced function — drop compiled
     # variants so the monkeypatched value actually takes effect
-    PR.rasterize_ids_pallas.clear_cache()
+    PR._rasterize_ids_pallas_jit.clear_cache()
     pos, sf = _sphere_scene(n_views=2)
     res = (64, 128)
     a = np.asarray(rasterize_ids(pos, sf, res))

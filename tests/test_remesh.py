@@ -39,7 +39,7 @@ def test_remesh_nonconvex_torus_like():
 
 def test_geometry_remesh_roundtrip():
     from tssplat_tpu.geometry.tet_geometry import TetMeshGeometry
-    v, t = tet_sphere(0.06, radius=0.3)
+    v, t = tet_sphere(0.08, radius=0.3)
     geo = TetMeshGeometry(dict(use_smooth_barrier=True),
                           tetmesh=TetMesh(v, t))
     # deform: squash in z
@@ -47,7 +47,7 @@ def test_geometry_remesh_roundtrip():
     geo.set_tet_v(np.asarray(geo.tet_v) * np.asarray([1.0, 1.0, 0.6]))
     geo.tetmesh.update_vtx_pos(np.asarray(geo.tet_v))
     n_tets_before = geo.tetmesh.num_tets
-    geo.remesh(grid_dim=40)
+    geo.remesh(grid_dim=32)
     assert geo.tetmesh.num_tets > 100
     # fresh rest state: energy ~0 at the new rest mesh
     fwd = geo.forward(0)
@@ -94,7 +94,7 @@ def test_trainer_with_periodic_remesh(tmp_path):
         "optimizer": {"type": "adam", "lr": 3e-3},
         "output_path": out, "total_num_iter": 14,
         "use_permute_surface_v": False,
-        "remesh_every": 8, "remesh_grid_dim": 36,
+        "remesh_every": 8, "remesh_grid_dim": 28,
         "log_every": 1000, "export_every": 10,
     })
     state, geometry = train(cfg)
@@ -150,7 +150,7 @@ def test_multisphere_remesh_repartition_unit():
         kp = os.path.join(d, "kp.json")
         with open(kp, "w") as f:
             _json.dump({"pt": [[-0.1, 0, 0], [0.12, 0, 0]],
-                        "r": [0.22, 0.18]}, f)
+                        "r": [0.19, 0.15]}, f)
         geo = TetMeshMultiSphereGeometry(dict(
             use_smooth_barrier=False, key_points_file_path=kp,
             tetwild_cache_folder=os.path.join(d, "c"), output_path=d))
@@ -158,7 +158,7 @@ def test_multisphere_remesh_repartition_unit():
         # deform: stretch x so the spheres separate visibly
         geo.set_tet_v(np.asarray(geo.tet_v) * np.asarray([1.3, 1.0, 1.0]))
         geo.tetmesh.update_vtx_pos(np.asarray(geo.tet_v))
-        geo.remesh(grid_dim=40)
+        geo.remesh(grid_dim=32)
         assert geo.tetmesh.num_vertices != n_v0  # topology replaced
         # partition covers every tet exactly once and indices are in range
         total = 0

@@ -216,7 +216,12 @@ def test_masked_material_eval_matches_dense():
     from tssplat_tpu.render.pipeline import _eval_material_masked
     from tssplat_tpu.materials import ExplicitMaterial
 
-    mat = ExplicitMaterial({})
+    # small encoding: this test pins the subtile-compaction logic, not the
+    # hash grid — the production 16-level config only inflates compile time
+    mat = ExplicitMaterial({"pos_encoding_config": {
+        "otype": "HashGrid", "n_levels": 6, "n_features_per_level": 2,
+        "log2_hashmap_size": 12, "base_resolution": 4,
+        "per_level_scale": 1.6}})
     rng = np.random.default_rng(3)
     H = W = 64
     pos = jnp.asarray(rng.uniform(-0.5, 0.5, (2, H, W, 3)), jnp.float32)
