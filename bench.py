@@ -292,6 +292,22 @@ def scaling():
     ips1 = run(1)
     ipsn = run(n_dev) if n_dev > 1 else ips1
     eff = ipsn / ips1
+    # on a VIRTUAL CPU mesh all n "devices" share one host's FLOPs, so the
+    # raw weak-scaling ratio is bounded by 1/n even for a perfect program;
+    # normalize by that bound so the harness number is comparable to what
+    # real chips would report (1.0 = no sharding overhead at all)
+    import jax as _j
+    virtual_cpu = _j.default_backend() == "cpu"
+    if virtual_cpu and n_dev > 1:
+        print(json.dumps({
+            "metric": f"weak_scaling_cpu_normalized_d{n_dev}_r{res}",
+            "value": round(eff * n_dev, 4),
+            "unit": f"n*it/s(n)/it/s(1) on a shared-host virtual mesh "
+                    f"(raw ratio {eff:.4f}, ideal bound {1.0/n_dev:.4f}; "
+                    f"B={per_dev * n_dev} vs B={per_dev})",
+            "vs_baseline": None,
+        }))
+        return
     print(json.dumps({
         "metric": f"weak_scaling_efficiency_d{n_dev}_r{res}",
         "value": round(eff, 4),

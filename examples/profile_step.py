@@ -21,14 +21,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force_sync(out):
+    """block_until_ready can return early on the axon backend (CLAUDE.md);
+    a host transfer of one element cannot."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
 def timeit(fn, *args, iters=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force_sync(out)
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 

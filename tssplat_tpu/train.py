@@ -745,7 +745,8 @@ def train(cfg):
 
         if is_main and checkpoint_every and it and it % checkpoint_every == 0:
             from .utils.checkpoint import save_checkpoint
-            save_checkpoint(ckpt_dir, it, jax.device_get(state))
+            save_checkpoint(ckpt_dir, it, jax.device_get(state),
+                            keep=int(cfg.get("checkpoint_keep", 3)))
 
         if it % export_every == 0 and fitting_stage == "geometry":
             geometry.set_tet_v(state.params)
