@@ -121,8 +121,14 @@ def test_texture_stage_converges(tex_root):
     assert e1 < 0.75 * e0
     assert e1 < 0.01
 
-    # material artifact written
-    assert os.path.exists(os.path.join(out, "final", "material", "material.npz"))
+    # material artifacts written, including the baked-texture OBJ
+    # (reference trainer.py:187-189); asserted here rather than in a
+    # separate test because xdist distributes tests across workers and a
+    # sibling test cannot rely on this one's output directory
+    final = os.path.join(out, "final", "material")
+    assert os.path.exists(os.path.join(final, "material.npz"))
+    assert os.path.exists(os.path.join(final, "mesh.obj"))
+    assert os.path.exists(os.path.join(final, "texture_kd.png"))
 
 
 def test_textured_obj_export(tmp_path):
@@ -197,15 +203,6 @@ def test_progressive_encoding_progresses_in_pipeline():
     f40 = np.asarray(enc.apply_fn(mat.params["encoding"], x, 40))
     assert np.all(f0[:, 2 * 2:] == 0.0)          # levels >= start_level masked
     assert np.any(f40[:, 2 * 2:] != 0.0)         # unlocked by step 40
-
-
-def test_texture_stage_writes_textured_obj(tex_root):
-    """The texture-stage trainer ends with a baked-texture OBJ
-    (reference trainer.py:187-189)."""
-    out = os.path.join(str(tex_root), "out")
-    final = os.path.join(out, "final", "material")
-    assert os.path.exists(os.path.join(final, "mesh.obj"))
-    assert os.path.exists(os.path.join(final, "texture_kd.png"))
 
 
 def test_masked_material_eval_matches_dense():
