@@ -70,7 +70,7 @@ cfg = ConfigDict({
   "permute_surface_v_param": {"start_iter": 1500, "end_iter": iters,
                               "freq": 1000, "start_val": 0.01,
                               "end_val": 0.001},
-  "checkpoint_every": 100,
+  "checkpoint_every": 100, "checkpoint_keep": 100,
   "log_every": 100, "export_every": 10**6,
 })
 state, geometry = train(cfg)
