@@ -108,13 +108,10 @@ class DiffusersGuidance:
         from diffusers import UNet2DConditionModel, DDPMScheduler
         from transformers import AutoTokenizer, CLIPTextModel
 
-        self.torch = torch
-        self.cfg = cfg
-        self.device = device
-        self.unet = UNet2DConditionModel.from_pretrained(
+        unet = UNet2DConditionModel.from_pretrained(
             model_id, subfolder="unet").to(device).eval()
-        self.sched = DDPMScheduler.from_pretrained(model_id,
-                                                   subfolder="scheduler")
+        sched = DDPMScheduler.from_pretrained(model_id,
+                                              subfolder="scheduler")
         tok = AutoTokenizer.from_pretrained(model_id, subfolder="tokenizer")
         txt = CLIPTextModel.from_pretrained(
             model_id, subfolder="text_encoder").to(device).eval()
@@ -124,8 +121,32 @@ class DiffusersGuidance:
                           max_length=tok.model_max_length,
                           return_tensors="pt").input_ids.to(device)
                 return txt(ids)[0]
-            self.emb_cond = emb(prompt)
-            self.emb_un = emb(negative_prompt)
+            emb_cond = emb(prompt)
+            emb_un = emb(negative_prompt)
+        self._init_components(unet, sched, emb_cond, emb_un, cfg, device)
+
+    @classmethod
+    def from_components(cls, unet, scheduler, emb_cond, emb_un,
+                        cfg: SDSConfig, device: str = "cpu"):
+        """Construct from already-built components — no from_pretrained,
+        no network. This is how the call path (classifier-free guidance
+        combination + NHWC<->NCHW conversion + embedding broadcast) is
+        exercised in tests/test_sds.py with a contract-mock UNet; only the
+        weight-loading constructor above requires local model files."""
+        self = cls.__new__(cls)
+        self._init_components(unet, scheduler, emb_cond, emb_un, cfg,
+                              device)
+        return self
+
+    def _init_components(self, unet, sched, emb_cond, emb_un, cfg, device):
+        import torch
+        self.torch = torch
+        self.cfg = cfg
+        self.device = device
+        self.unet = unet
+        self.sched = sched
+        self.emb_cond = emb_cond
+        self.emb_un = emb_un
 
     def __call__(self, x_t, t_idx, eps, cond=None):
         torch = self.torch
