@@ -601,6 +601,7 @@ def train(cfg):
     if (fitting_stage == "texture"
             and not int(cfg.get("texture_sample_px", 0))
             and bool(cfg.get("texture_exact_fast", True))
+            and not fit_depth_cfg and not bool(cfg.get("fit_normal", False))
             and mesh is None and sp_mesh is None and n_proc == 1
             and num_forward_per_iter == 1):
         from .materials.exact_stage import (build_texture_exact_cache,
