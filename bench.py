@@ -368,14 +368,17 @@ def smoke():
             print(f"smoke ok: {name}", file=sys.stderr, flush=True)
 
     # visibility + kernel-emitted AA rows (_vis_kernel_flat / _vis_kernel_g)
-    ids_i, z_i, g_i = rasterize_ids_pallas(pos, tri_c, (H, W), corner=True,
-                                           with_g=nbrs, interpret=True)
-    ids_c, z_c, g_c = jax.jit(
+    ids_i, z_i, g_i, aux_i = rasterize_ids_pallas(pos, tri_c, (H, W),
+                                                  corner=True,
+                                                  with_g=nbrs,
+                                                  interpret=True)
+    ids_c, z_c, g_c, aux_c = jax.jit(
         lambda p: rasterize_ids_pallas(p, tri_c, (H, W), corner=True,
                                        with_g=nbrs))(pos)
     check("vis ids", ids_c, ids_i, atol=0)
     check("vis z", z_c, z_i)
     check("aa rows g", g_c, g_i)
+    check("aa rows aux", aux_c, aux_i)
 
     # AA table-gradient backward (wsr_table_grad_pallas)
     rng = np.random.default_rng(0)

@@ -162,11 +162,15 @@ def test_kernel_winner_rows_match_gather():
     pos = transform_pos(jnp.asarray(mvp, jnp.float32), vc)
     res = (64, 128)
 
-    ids, z, gk = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
-                                      corner=True, with_g=nbrs)
+    ids, z, gk, ga = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
+                                          corner=True, with_g=nbrs)
     g_ref = _gather_tri_screen(pos, tri_c, ids, edge_nbrs=nbrs, corner=True)
-    for ch in list(range(6)) + [12, 13, 14, 15]:
+    for ch in range(6):
         np.testing.assert_allclose(np.asarray(gk[:, ch]),   # channel-major
+                                   np.asarray(g_ref[..., ch]), atol=1e-6,
+                                   err_msg=f"channel {ch}")
+    for ch in (12, 13, 14, 15):                             # aux split
+        np.testing.assert_allclose(np.asarray(ga[:, ch - 12]),
                                    np.asarray(g_ref[..., ch]), atol=1e-6,
                                    err_msg=f"channel {ch}")
 
@@ -174,15 +178,16 @@ def test_kernel_winner_rows_match_gather():
     def loss_via(g_mode):
         def f(p):
             if g_mode == "kernel":
-                i2, z2, gk2 = rasterize_ids_pallas(p, tri_c, res,
-                                                   interpret=True,
-                                                   corner=True, with_g=nbrs)
+                i2, z2, gk2, ga2 = rasterize_ids_pallas(p, tri_c, res,
+                                                        interpret=True,
+                                                        corner=True,
+                                                        with_g=nbrs)
             else:
                 i2, z2 = ids, z
-                gk2 = None
+                gk2 = ga2 = None
             zero = jnp.zeros_like(z2)
             rast = jnp.stack([zero, zero, z2, i2.astype(jnp.float32)], -1)
-            g = winner_screen_rows(p, tri_c, i2, nbrs, gk2, True) \
+            g = (winner_screen_rows(p, tri_c, i2, nbrs, gk2, True), ga2) \
                 if g_mode == "kernel" else None
             a = jnp.clip(rast[..., 3:4], 0, 1)
             a = antialias(a, rast, p, tri_c, nbrs, corner=True,
@@ -300,14 +305,14 @@ def test_wsr_subtile_compaction_matches_gather_path():
                                            winner_screen_rows)
     pos, tri_c, nbrs = _corner_scene()
     res = (256, 256)
-    ids, z, gk = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
-                                      corner=True, with_g=nbrs)
+    ids, z, gk, ga = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
+                                          corner=True, with_g=nbrs)
 
     def loss_via(mode):
         def f(p):
             zero = jnp.zeros_like(z)
             rast = jnp.stack([zero, zero, z, ids.astype(jnp.float32)], -1)
-            g = winner_screen_rows(p, tri_c, ids, nbrs, gk, True) \
+            g = (winner_screen_rows(p, tri_c, ids, nbrs, gk, True), ga) \
                 if mode == "kernel" else None
             a = jnp.clip(rast[..., 3:4], 0, 1)
             a = antialias(a, rast, p, tri_c, nbrs, corner=True,
@@ -329,12 +334,12 @@ def test_wsr_dense_fallback_on_overflow():
                                            winner_screen_rows)
     pos, tri_c, nbrs = _corner_scene(n_views=1, res=(256, 256), h=0.12)
     res = (256, 256)
-    ids, z, gk = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
-                                      corner=True, with_g=nbrs)
+    ids, z, gk, ga = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
+                                          corner=True, with_g=nbrs)
 
     def via_kernel(p):
         g = winner_screen_rows(p, tri_c, ids, nbrs, gk, True)
-        return jnp.sum(g[:, :6] ** 2)                    # channel-major
+        return jnp.sum(g ** 2)                           # (B,6,H,W)
 
     def via_gather(p):
         g = _gather_tri_screen(p, tri_c, ids, edge_nbrs=nbrs, corner=True)
@@ -357,14 +362,14 @@ def test_wsr_pallas_table_grad_matches_gather_path(monkeypatch):
     monkeypatch.setenv("TSSPLAT_WSR_KERNEL", "interpret")
     pos, tri_c, nbrs = _corner_scene()
     res = (256, 256)
-    ids, z, gk = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
-                                      corner=True, with_g=nbrs)
+    ids, z, gk, ga = rasterize_ids_pallas(pos, tri_c, res, interpret=True,
+                                          corner=True, with_g=nbrs)
 
     def aa_loss(mode):
         def f(p):
             zero = jnp.zeros_like(z)
             rast = jnp.stack([zero, zero, z, ids.astype(jnp.float32)], -1)
-            g = winner_screen_rows(p, tri_c, ids, nbrs, gk, True) \
+            g = (winner_screen_rows(p, tri_c, ids, nbrs, gk, True), ga) \
                 if mode == "kernel" else None
             a = jnp.clip(rast[..., 3:4], 0, 1)
             a = antialias(a, rast, p, tri_c, nbrs, corner=True,
@@ -380,7 +385,7 @@ def test_wsr_pallas_table_grad_matches_gather_path(monkeypatch):
     # dense cotangents (every fg pixel) — no caps to overflow
     def via_kernel(p):
         g = winner_screen_rows(p, tri_c, ids, nbrs, gk, True)
-        return jnp.sum(g[:, :6] ** 2)                    # channel-major
+        return jnp.sum(g ** 2)                           # (B,6,H,W)
 
     def via_gather(p):
         g = _gather_tri_screen(p, tri_c, ids, edge_nbrs=nbrs, corner=True)

@@ -46,18 +46,22 @@ def test_viewport_pallas_matches_full_rows():
     from tssplat_tpu.ops.pallas_raster import rasterize_ids_pallas
     pos, tri_c, nbrs = _scene()
     H, W = 128, 128
-    full, zf, gf = rasterize_ids_pallas(pos, tri_c, (H, W), interpret=True,
-                                        corner=True, with_g=nbrs)
+    full, zf, gf, af = rasterize_ids_pallas(pos, tri_c, (H, W),
+                                            interpret=True,
+                                            corner=True, with_g=nbrs)
     for row0 in (0, 64):
         hloc = 64
-        ids, z, g = rasterize_ids_pallas(pos, tri_c, (hloc, W),
-                                         interpret=True, corner=True,
-                                         with_g=nbrs,
-                                         row0=jnp.int32(row0), full_h=H)
+        ids, z, g, ga = rasterize_ids_pallas(pos, tri_c, (hloc, W),
+                                             interpret=True, corner=True,
+                                             with_g=nbrs,
+                                             row0=jnp.int32(row0), full_h=H)
         assert (np.asarray(ids) != np.asarray(full)[:, row0:row0 + hloc]) \
             .sum() == 0
         np.testing.assert_allclose(np.asarray(g),        # g channel-major
                                    np.asarray(gf)[:, :, row0:row0 + hloc],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ga),
+                                   np.asarray(af)[:, :, row0:row0 + hloc],
                                    atol=1e-6)
 
 

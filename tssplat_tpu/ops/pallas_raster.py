@@ -101,7 +101,8 @@ def _vis_kernel(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
 
 
 def _vis_kernel_g(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
-                  g_ref, *, tile_h, tile_w, ntx, H, W, shared_tbl=False):
+                  g6_ref, gaux_ref, *, tile_h, tile_w, ntx, H, W,
+                  shared_tbl=False):
     """Visibility + winner-row emission: carries the winning candidate's
     screen data (xy, edge-neighbor ids, orientation) through the depth loop
     and writes it per pixel in _gather_tri_screen's 16-channel layout —
@@ -171,14 +172,16 @@ def _vis_kernel_g(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
     out_ref[0] = best_id
     zout_ref[0] = jnp.where(fg, best_z, 0.0)
     fgf = fg.astype(jnp.float32)
+    # split emission: 6 DIFFERENTIABLE xy channels + 4 non-diff aux
+    # channels (edge-neighbor ids, orientation) — the custom-VJP cotangent
+    # then materializes at 6 channels instead of 16 (the d_g pad/add
+    # assembly at 16ch moved ~660 MB/step of structurally-zero data)
     for j in range(6):                   # ax,bx,cx,ay,by,cy
-        g_ref[0, j] = chans[j] * fgf
-    for j in range(6, 12):               # unused z/iw slots
-        g_ref[0, j] = zero
-    g_ref[0, 12] = chans[6] * fgf
-    g_ref[0, 13] = chans[7] * fgf
-    g_ref[0, 14] = chans[8] * fgf
-    g_ref[0, 15] = chans[9] * fgf
+        g6_ref[0, j] = chans[j] * fgf
+    gaux_ref[0, 0] = chans[6] * fgf      # nbr0
+    gaux_ref[0, 1] = chans[7] * fgf      # nbr1
+    gaux_ref[0, 2] = chans[8] * fgf      # nbr2
+    gaux_ref[0, 3] = chans[9] * fgf      # sign(area)
 
 
 def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
@@ -260,16 +263,15 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
     out_refs[1][0] = jnp.where(fg, best_z, 0.0)
     if emit_g:
         chans = res[2]
-        g_ref = out_refs[2]
+        g6_ref = out_refs[2]
+        gaux_ref = out_refs[3]
         fgf = fg.astype(jnp.float32)
         for j in range(6):                   # ax,bx,cx,ay,by,cy
-            g_ref[0, j] = chans[j] * fgf
-        for j in range(6, 12):               # unused z/iw slots
-            g_ref[0, j] = zero
-        g_ref[0, 12] = chans[6] * fgf
-        g_ref[0, 13] = chans[7] * fgf
-        g_ref[0, 14] = chans[8] * fgf
-        g_ref[0, 15] = chans[9] * fgf
+            g6_ref[0, j] = chans[j] * fgf
+        gaux_ref[0, 0] = chans[6] * fgf      # nbr0
+        gaux_ref[0, 1] = chans[7] * fgf      # nbr1
+        gaux_ref[0, 2] = chans[8] * fgf      # nbr2
+        gaux_ref[0, 3] = chans[9] * fgf      # sign(area)
 
 
 def _tile_range(lo, hi, tile_px, ntiles_axis):
@@ -608,8 +610,14 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     out_specs = [tile_spec, tile_spec]
     if with_g is not None:
         out_shapes.append(jax.ShapeDtypeStruct(
-            (B, 16, H, W), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 16, tile_h, tile_w),
+            (B, 6, H, W), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 6, tile_h, tile_w),
+                                      lambda b, t, *_: (b, 0, t // ntx,
+                                                        t % ntx),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (B, 4, H, W), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 4, tile_h, tile_w),
                                       lambda b, t, *_: (b, 0, t // ntx,
                                                         t % ntx),
                                       memory_space=pltpu.VMEM))
@@ -693,11 +701,12 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         )(counts.reshape(-1), row0_arr, data_arg, ids)
 
     if with_g is not None:
-        # g is channel-MAJOR (B,16,H,W): a single channel slice g[:, j]
-        # keeps W on the VPU lane axis; the row-major (B,H,W,16) layout put
-        # 16 in lanes and padded every AA-chain intermediate 8x
-        out, zout, g = results
-        return (out, zout, g, n_drop) if with_drops else (out, zout, g)
+        # channel-MAJOR (B,6,H,W)+(B,4,H,W): a channel slice g[:, j] keeps
+        # W on the VPU lane axis; the split keeps the differentiable xy
+        # channels (6) apart from the non-diff neighbor/orientation aux (4)
+        out, zout, g6, gaux = results
+        return (out, zout, g6, gaux, n_drop) if with_drops \
+            else (out, zout, g6, gaux)
     out, zout = results
     if with_z:
         return (out, zout, n_drop) if with_drops else (out, zout)

@@ -536,13 +536,14 @@ def _wsr_bwd(corner, res, ct):
     edge_nbrs = edge_nbrsf.astype(jnp.int32)
     B = pos_clip.shape[0]
     F = tri.shape[0]
-    C = ct.shape[1]                                      # ct (B,16,H,W)
+    C = ct.shape[1]                                # ct (B,6,H,W): only the
+    # screen-xy channels are differentiable — neighbor ids / orientation
+    # travel separately as a non-diff aux array, so the cotangent at this
+    # boundary materializes at 6 channels, not 16 (the 16-ch d_g pad/add
+    # assembly moved ~660 MB/step of structurally-zero data)
     t = jnp.where(ids > 0, ids - 1, F)
-    # only the screen-xy channels (0..5) can affect d_pos on this path:
-    # z/iw slots are zero and unused, neighbor ids (12..14) only feed
-    # comparisons, and the orientation channel's (15) cotangent dies in the
-    # table build's stop_gradient
     CA = min(C, 6)
+    TC = 16 if edge_nbrs is not None else 12       # table column count
 
     # TPU path: one Pallas pass over (ids, ct) accumulates the per-face
     # cotangent table by per-tile distinct-winner extraction — exact at any
@@ -560,7 +561,7 @@ def _wsr_bwd(corner, res, ct):
         d_act = wsr_table_grad_pallas(ids, ct[:, :CA], F,
                                       interpret=not on_tpu)
         d_tbl = jnp.concatenate(
-            [d_act, jnp.zeros((B, F + 1, C - CA), d_act.dtype)], axis=-1)
+            [d_act, jnp.zeros((B, F + 1, TC - CA), d_act.dtype)], axis=-1)
         _, vjp = jax.vjp(
             lambda p: _build_screen_table(p, tri, edge_nbrs, corner),
             pos_clip)
@@ -647,7 +648,7 @@ def _wsr_bwd(corner, res, ct):
             .reshape(B, F + 1, CA)
 
     d_tbl = jnp.concatenate(
-        [d_act, jnp.zeros((B, F + 1, C - CA), d_act.dtype)], axis=-1)
+        [d_act, jnp.zeros((B, F + 1, TC - CA), d_act.dtype)], axis=-1)
     _, vjp = jax.vjp(
         lambda p: _build_screen_table(p, tri, edge_nbrs, corner), pos_clip)
     (d_pos,) = vjp(d_tbl)
@@ -660,7 +661,8 @@ _winner_screen_rows_f.defvjp(_wsr_fwd, _wsr_bwd)
 
 def winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel, corner):
     """Differentiable per-pixel winner rows whose VALUE comes from the
-    visibility kernel (g_kernel (B,16,H,W) channel-major, stop-grad)
+    visibility kernel (g_kernel (B,6,H,W) xy channels, channel-major,
+    stop-grad; the non-diff neighbor/orientation aux travels separately)
     instead of a per-pixel gather — TPU row gathers are the forward hot
     spot. Matches _gather_tri_screen(pos_clip, tri, ids, edge_nbrs,
     corner) transposed to (B,16,H,W) on the AA channels (xy, neighbor ids,
@@ -793,9 +795,10 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
 
     On the Pallas path the kernel emits the per-pixel winner rows directly
     (no row gather in the forward); gradients are reattached via
-    winner_screen_rows' custom VJP. Returns (rast, g) — g is channel-major
-    (B,16,H,W), or None on non-kernel paths (antialias then gathers as
-    usual).
+    winner_screen_rows' custom VJP. Returns (rast, g) — g is a channel-
+    major pair (g_xy (B,6,H,W) differentiable, g_aux (B,4,H,W) non-diff
+    neighbor ids + orientation), or None on non-kernel paths (antialias
+    then gathers as usual).
     """
     H, W = resolution
     aligned = H % 8 == 0 and W % 128 == 0
@@ -804,16 +807,14 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
     vp = viewport if viewport is not None else (None, None)
     if method == "pallas" or (method == "auto" and aligned and big and on_tpu):
         from .pallas_raster import rasterize_ids_pallas
-        ids, z, g_kernel = rasterize_ids_pallas(pos_clip, tri, resolution,
-                                                corner=corner,
-                                                with_g=edge_nbrs, k=k,
-                                                row0=vp[0], full_h=vp[1],
-                                                drops_out=drops_out)
+        ids, z, g_kernel, g_aux = rasterize_ids_pallas(
+            pos_clip, tri, resolution, corner=corner, with_g=edge_nbrs,
+            k=k, row0=vp[0], full_h=vp[1], drops_out=drops_out)
         zero = jnp.zeros_like(z)
         rast = jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
-        g = winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel,
-                               corner)
-        return rast, g
+        g6 = winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel,
+                                corner)
+        return rast, (g6, g_aux)
     return rasterize_silhouette(pos_clip, tri, resolution, method=method,
                                 corner=corner, k=k, viewport=viewport,
                                 drops_out=drops_out), None
@@ -857,7 +858,8 @@ def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray,
 # 3. Antialiasing (silhouette-edge coverage blending)
 # ---------------------------------------------------------------------------
 
-def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
+def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b,
+              aux_a, aux_b, pa, pb):
     """Compute AA color deltas for one axis of pixel pairs.
 
     NOT rematerialized: wrapping this in jax.checkpoint was measured
@@ -866,9 +868,10 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
     of saving intermediate traffic.
 
     a/b are the two pixels of each pair; p* are their NDC centers (…,2);
-    g_* are per-pixel 16-channel winner rows, CHANNEL-MAJOR (B,16,h,w)
-    (_gather_tri_screen layout transposed): xy (6), z/iw (6),
-    edge-neighbor ids (3), area sign (1).
+    g_* are the per-pixel DIFFERENTIABLE winner xy rows, CHANNEL-MAJOR
+    (B,6,h,w); aux_* carry the non-differentiable channels (B,4,h,w):
+    edge-neighbor ids (3) + area sign (1). Splitting them keeps the
+    custom-VJP cotangent at 6 channels instead of 16.
     Returns (delta_a, delta_b) to add to the respective pixel colors.
     """
     differ = (id_a != id_b) & ((id_a > 0) | (id_b > 0))
@@ -886,11 +889,14 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
     def oc(j):                                           # owner channel j
         return jnp.where(owner_a, g_a[:, j], g_b[:, j])
 
+    def oa(j):                                           # owner aux chan j
+        return jnp.where(owner_a, aux_a[:, j], aux_b[:, j])
+
     vx0, vx1, vx2 = oc(0), oc(1), oc(2)
     vy0, vy1, vy2 = oc(3), oc(4), oc(5)
     # inside-positive edge functions at both pixel centers (sign-corrected
-    # by the precomputed per-face orientation, channel 15)
-    sgn = oc(15)
+    # by the precomputed per-face orientation, aux channel 3)
+    sgn = oa(3)
     pax, pay = pa[..., 0], pa[..., 1]
     pbx, pby = pb[..., 0], pb[..., 1]
 
@@ -931,9 +937,9 @@ def _aa_pairs(color_a, color_b, id_a, id_b, z_a, z_b, g_a, g_b, pa, pb):
 
     # silhouette check: the crossing edge must not be shared with the other
     # pixel's triangle (interior edges don't blend; background never shares).
-    # Neighbor ids ride in the gathered row (channels 12..14) — triangle
-    # counts stay far below f32's 2^24 exact-integer range.
-    nbr = jnp.where(k == 0, oc(12), jnp.where(k == 1, oc(13), oc(14)))
+    # Neighbor ids ride in the aux rows (channels 0..2) — triangle counts
+    # stay far below f32's 2^24 exact-integer range.
+    nbr = jnp.where(k == 0, oa(0), jnp.where(k == 1, oa(1), oa(2)))
     shared = (nbr == other_tri.astype(nbr.dtype)) & (other_tri >= 0) & \
              jnp.where(owner_a, id_b > 0, id_a > 0)
 
@@ -969,13 +975,20 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     z = rast[..., 2]
 
     if g_precomputed is not None:
-        g = g_precomputed                                # kernel rows (B,16,H,W)
+        # kernel rows: (g6 (B,6,H,W) differentiable xy, aux (B,4,H,W))
+        g, gaux = g_precomputed
     else:
         # one row gather carries everything the pair logic needs; the AA
-        # chain consumes channel-major (B,16,H,W) slices (see _aa_pairs)
-        g = jnp.moveaxis(
+        # chain consumes channel-major slices (see _aa_pairs). Only the
+        # xy channels carry gradient — the aux channels' cotangents are
+        # structurally discarded (comparisons + a stop-gradient sign), so
+        # cutting them here keeps the backward's pad/add assembly at 6
+        # channels
+        g16 = jnp.moveaxis(
             _gather_tri_screen(pos_clip, tri, ids, edge_nbrs=edge_nbrs,
                                corner=corner), -1, 1)
+        g = g16[:, :6]
+        gaux = jax.lax.stop_gradient(g16[:, 12:16])
 
     row0, full_h = viewport if viewport is not None else (0, None)
     px, py = _pixel_centers((H, W), color.dtype, row0, full_h)
@@ -990,6 +1003,7 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
                        ids[:, :, :-1], ids[:, :, 1:],
                        z[:, :, :-1], z[:, :, 1:],
                        g[:, :, :, :-1], g[:, :, :, 1:],
+                       gaux[:, :, :, :-1], gaux[:, :, :, 1:],
                        pcent[:, :, :-1], pcent[:, :, 1:])
     out = out + jnp.pad(da, ((0, 0), (0, 0), (0, 1), (0, 0)))
     out = out + jnp.pad(db, ((0, 0), (0, 0), (1, 0), (0, 0)))
@@ -999,6 +1013,7 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
                        ids[:, :-1], ids[:, 1:],
                        z[:, :-1], z[:, 1:],
                        g[:, :, :-1], g[:, :, 1:],
+                       gaux[:, :, :-1], gaux[:, :, 1:],
                        pcent[:, :-1], pcent[:, 1:])
     if row_valid is not None:
         # spatial slabs: vertical pairs whose partner row lies outside the

@@ -124,8 +124,9 @@ def _spatial_pixel_losses(tet_v, statics, mvp, target_img, target_d,
                 pos_clip, tri_c, (slab_h, W), statics.edge_nbrs,
                 corner=True, viewport=(row0, H), method=method, k=tile_k)
             rast = rast * valid.astype(rast.dtype)[None, :, None, None]
-            if g is not None:                            # channel-major
-                g = g * valid.astype(g.dtype)[None, None, :, None]
+            if g is not None:                            # (g_xy, g_aux)
+                vm = valid.astype(rast.dtype)[None, None, :, None]
+                g = (g[0] * vm, g[1] * vm)
 
         alpha = jnp.clip(rast[..., 3:4], 0.0, 1.0)
         a = antialias(alpha, rast, pos_clip, tri_c, statics.edge_nbrs,
