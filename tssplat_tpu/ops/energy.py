@@ -252,7 +252,14 @@ def _sb_bwd(res, g):
     flat = contrib.transpose(0, 2, 1).reshape(4 * T, 3)   # row = t*4+corner
     flat = jnp.concatenate([flat, jnp.zeros((1, 3), flat.dtype)], axis=0)
     n, D = inc_idx.shape
-    gx = flat[inc_idx.reshape(-1)].reshape(n, D, 3).sum(axis=1)
+    # unrolled per-slot gathers: the single (n*D,3) gather reshaped to
+    # (n,D,3) before the axis-1 sum keeps a small middle axis alive and
+    # XLA materializes + relayouts the whole intermediate (the same trap
+    # the Laplacian's (T,4,3,3) gather hit — see _unweighted_lap);
+    # per-slot (n,3) gathers fuse straight into the adds
+    gx = flat[inc_idx[:, 0]]
+    for k in range(1, D):
+        gx = gx + flat[inc_idx[:, k]]
 
     def f0(a):
         return np.zeros(np.shape(a), jax.dtypes.float0)
