@@ -104,15 +104,15 @@ def main():
 
     # --- 2b. AA pieces over fixed kernel outputs --------------------------
     from tssplat_tpu.ops.rasterize import antialias, winner_screen_rows
-    ids, zz, gk = jax.block_until_ready(vis(pos_clip))
+    ids, zz, gk, ga = jax.block_until_ready(vis(pos_clip))
     zero = jnp.zeros_like(zz)
     rast = jnp.stack([zero, zero, zz, ids.astype(zz.dtype)], -1)
 
-    def aa_only(g):
+    def aa_only(g6):
         a = jnp.clip(rast[..., 3:4], 0, 1)
         return jnp.sum(antialias(a, rast, pos_clip, tri_c,
                                  statics.edge_nbrs, corner=True,
-                                 g_precomputed=g) ** 2)
+                                 g_precomputed=(g6, ga)) ** 2)
 
     ms = timeit(jax.jit(aa_only), gk, iters=iters)
     print(f"  AA fwd (g fixed):       {ms:.2f} ms", flush=True)
@@ -121,7 +121,7 @@ def main():
 
     def wsr_loss(p):
         g = winner_screen_rows(p, tri_c, ids, statics.edge_nbrs, gk, True)
-        return jnp.sum(g[:, :6] ** 2)                    # channel-major
+        return jnp.sum(g ** 2)                           # (B,6,H,W)
     ms = timeit(jax.jit(jax.grad(wsr_loss)), pos_clip, iters=iters)
     print(f"  winner-rows VJP:        {ms:.2f} ms", flush=True)
 

@@ -138,6 +138,11 @@ def build_texture_exact_loss(material, statics, cache: dict):
         colors = colors.reshape(n, P, 3)
         colors = jnp.concatenate(
             [colors, jnp.zeros((n, 1, 3), colors.dtype)], axis=1)
+        # NOTE (perf, CLAUDE.md element-gather rule): this flat (n,H*W)
+        # take_along_axis is an element gather; a blockified inverse map
+        # would follow the repo's measured-faster row-gather pattern. At
+        # the recorded 3.57 it/s the step is dominated by the encoding
+        # backward's prefix sums, so the simpler form stands for now.
         full = jnp.take_along_axis(colors, inv[..., None], axis=1)
         full = full.reshape(n, res, res, 3)
         gb = bg + (full - bg) * mask

@@ -339,6 +339,14 @@ def bucketed_hash_encoding(buckets: dict):
 
     def bwd(resid, d_out):
         table, x = resid
+        # precision note: each bucket's gradient is a difference of two
+        # nearby values of an f32 prefix sum over up to 8N rows; signed
+        # cotangents random-walk, so the prefix magnitude is ~O(sqrt(8N))
+        # x mean|ct| and the absolute error per bucket is ~eps x that —
+        # measured 6e-6 on 3.2-magnitude grads at N=500, and the parity
+        # test budgets 2e-4 x max|grad| at stage scale. If a future
+        # workload needs tighter bounds at very large N, switch to
+        # per-level segment-local (pairwise) reductions.
         d_feats = d_out.reshape(-1, L, F)                  # (N,L,F)
         slices = []
         for l in range(L):

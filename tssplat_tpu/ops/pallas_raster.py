@@ -105,9 +105,10 @@ def _vis_kernel_g(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
                   shared_tbl=False):
     """Visibility + winner-row emission: carries the winning candidate's
     screen data (xy, edge-neighbor ids, orientation) through the depth loop
-    and writes it per pixel in _gather_tri_screen's 16-channel layout —
-    replacing the per-pixel row gather that dominates the silhouette
-    forward pass. Background pixels emit the all-zero row."""
+    and writes it per pixel as split channel-major rows — 6 differentiable
+    xy channels + 4 non-diff aux — replacing the per-pixel row gather that
+    dominated the silhouette forward pass. Background pixels emit the
+    all-zero row."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -193,7 +194,8 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
     per-view pool of big triangles — no dense (ntiles, k) candidate
     matrix exists anywhere, so binning memory stays proportional to the
     actual overlap pairs and no per-tile capacity can drop triangles.
-    ``emit_g`` additionally emits the winner's 16-channel AA rows like
+    ``emit_g`` additionally emits the winner's split AA rows (6 xy + 4
+    aux channels) like
     _vis_kernel_g."""
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -559,10 +561,11 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     Same contract and capacity heuristic as rasterize_ids_tiled; set
     ``interpret=True`` to run the kernel in interpreter mode off-TPU.
     ``with_z=True`` additionally returns the winner's z/w (B,H,W) f32.
-    ``with_g=edge_nbrs`` additionally returns the winner's 16-channel AA
-    rows, channel-major (B,16,H,W) (xy + neighbor ids + orientation; z/iw
-    slots zero) — all outputs non-differentiable (reattach gradients with
-    winner_screen_rows).
+    ``with_g=edge_nbrs`` additionally returns the winner's AA rows as TWO
+    channel-major arrays: g_xy (B,6,H,W) screen-xy (reattach gradients
+    with winner_screen_rows) and g_aux (B,4,H,W) edge-neighbor ids +
+    orientation (non-differentiable by construction) — splitting them
+    keeps the custom-VJP cotangent at 6 channels.
     ``(row0, full_h)`` rasterizes a horizontal slab: local rows map to
     absolute rows row0 + r of a full_h-tall image (row0 may be traced — it
     rides the scalar-prefetch channel into the kernel; full_h is static).

@@ -194,8 +194,7 @@ def spatial_geometry_loss(tet_v, statics, batch, it, mesh: Mesh,
                           resolution: int, is_ortho: bool = False,
                           method: str = "auto", tile_k=None,
                           fit_depth: bool = False, fit_normal: bool = False,
-                          normal_weight: float = 10.0,
-                          texture_stage: bool = False):
+                          normal_weight: float = 10.0):
     """Full geometry-stage training loss under ('view','sp') sharding.
 
     Identical semantics to the trainer's unsharded geometry loss
@@ -211,6 +210,14 @@ def spatial_geometry_loss(tet_v, statics, batch, it, mesh: Mesh,
     Returns (loss, (img_loss, reg)).
     """
     from ..geometry.tet_geometry import geometry_forward
+
+    # fail as loudly as the unsharded path would: silently substituting
+    # zeros for missing targets would train on a garbage loss
+    if fit_depth and ("campos" not in batch or "d" not in batch):
+        raise ValueError("spatial fit_depth needs 'campos' and 'd' in the "
+                         "batch")
+    if fit_normal and "n" not in batch:
+        raise ValueError("spatial fit_normal needs 'n' in the batch")
 
     B = batch["mvp"].shape[0]
     H = W = int(resolution)

@@ -603,6 +603,7 @@ def train(cfg):
             and bool(cfg.get("texture_exact_fast", True))
             and not fit_depth_cfg and not bool(cfg.get("fit_normal", False))
             and mesh is None and sp_mesh is None and n_proc == 1
+            and int(cfg.get("data", {}).get("world_size", 1)) == 1
             and num_forward_per_iter == 1):
         from .materials.exact_stage import (build_texture_exact_cache,
                                             build_texture_exact_loss)
@@ -682,7 +683,8 @@ def train(cfg):
             # writes to a shared output path can corrupt the resume ckpt
             if is_main:
                 from .utils.checkpoint import save_checkpoint
-                save_checkpoint(ckpt_dir, it - 1, jax.device_get(state))
+                save_checkpoint(ckpt_dir, it - 1, jax.device_get(state),
+                                keep=int(cfg.get("checkpoint_keep", 3)))
                 print(f"preempted: checkpoint written at iter {it - 1} "
                       f"(resume with resume=true)", flush=True)
             break
