@@ -389,6 +389,22 @@ def smoke():
     tab_c = jax.jit(lambda i, c: wsr_table_grad_pallas(i, c, F))(ids_i, ct)
     check("table grad", tab_c, tab_i, atol=1e-4)
 
+    # active-tile AA halo kernels (forward + backward)
+    from tssplat_tpu.ops.rasterize import _aa_tile_flags
+    from tssplat_tpu.ops.pallas_raster import (aa_halo_forward,
+                                               aa_halo_backward)
+    flags = _aa_tile_flags(ids_i, 8, 128)
+    aa_i = aa_halo_forward(flags, ids_i, z_i, g_i, aux_i, interpret=True)
+    aa_c = jax.jit(lambda *a: aa_halo_forward(*a))(flags, ids_i, z_i,
+                                                   g_i, aux_i)
+    check("aa halo fwd", aa_c, aa_i)
+    ct2 = jnp.asarray(rng.normal(size=(2, H, W)), jnp.float32)
+    dg_i = aa_halo_backward(flags, ids_i, z_i, g_i, aux_i, ct2,
+                            interpret=True)
+    dg_c = jax.jit(lambda *a: aa_halo_backward(*a))(flags, ids_i, z_i,
+                                                    g_i, aux_i, ct2)
+    check("aa halo bwd", dg_c, dg_i, atol=1e-4)
+
     print(json.dumps({
         "metric": "pallas_kernel_smoke",
         "value": 1.0 if ok else 0.0,

@@ -17,19 +17,26 @@ from tssplat_tpu.config import ConfigDict
 from tssplat_tpu.train import train
 
 gt_mode = os.environ.get("GT_MODE", "raster")
-root = "/tmp/mario_demo" if gt_mode == "raster" else f"/tmp/mario_demo_{gt_mode}"
+# MARIO_VIEWS=120 runs the exact reference-scale workload (config/gso.yaml:30
+# batches 120 views @ 512^2 per forward); default 60 keeps the demo fast
+n_views = int(os.environ.get("MARIO_VIEWS", 60))
+root = ("/tmp/mario_demo" if gt_mode == "raster"
+        else f"/tmp/mario_demo_{gt_mode}") + \
+    ("" if n_views == 60 else f"_v{n_views}")
 os.makedirs(root, exist_ok=True)
 v, f = load_obj("/root/reference/mesh_data/mario_example/model.obj")
 c = 0.5*(v.max(0)+v.min(0)); v = (v-c)/np.abs(v-c).max()*0.55
-log(f"mario: {v.shape[0]} verts {f.shape[0]} faces (GT={gt_mode})")
+log(f"mario: {v.shape[0]} verts {f.shape[0]} faces (GT={gt_mode}, "
+    f"{n_views} views)")
 
 img = os.path.join(root, "img")
-if not os.path.exists(os.path.join(img, "img_rgba_59.png")):
+if not os.path.exists(os.path.join(img, f"img_rgba_{n_views - 1}.png")):
     if gt_mode == "raytrace":
-        write_raytraced_dataset(img, v, f, n_views=60, resolution=512, spp=4)
+        write_raytraced_dataset(img, v, f, n_views=n_views, resolution=512,
+                                spp=4)
     else:
-        write_synthetic_dataset(img, v, f, n_views=60, resolution=512)
-log("dataset written (60 views @ 512)")
+        write_synthetic_dataset(img, v, f, n_views=n_views, resolution=512)
+log(f"dataset written ({n_views} views @ 512)")
 
 kp = os.path.join(root, "kp")
 if not os.path.exists(os.path.join(kp, "mario.json")):
@@ -67,7 +74,7 @@ cfg = ConfigDict({
     "output_path": out},
   "dataloader_type": "MistubaImgDataLoader",
   "data": {"dataset_config": {"image_root": img},
-           "world_size": 1, "rank": 0, "batch_size": 60,
+           "world_size": 1, "rank": 0, "batch_size": n_views,
            "total_num_iter": iters},
   "optimizer": opt_cfg,
   "output_path": out, "total_num_iter": iters,

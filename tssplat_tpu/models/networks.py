@@ -317,28 +317,29 @@ def build_hash_grad_buckets(xc: np.ndarray, n_levels: int = 16,
             "F": n_features_per_level}
 
 
-def bucketed_hash_encoding(buckets: dict):
-    """Exact hash-grid apply whose TABLE gradient uses the static buckets
-    (see build_hash_grad_buckets): scatter-free backward built from row
-    gathers + per-level prefix sums + static boundary differences. The
-    position gradient stays exact-by-autodiff (DCE'd when positions are
-    frozen upstream — the texture stage). Returns apply(params, x) where
-    ``x`` MUST be the (…,3) contracted positions the buckets were built
-    from, in the same flattened order."""
-    res, dense, H = buckets["res"], buckets["dense"], buckets["H"]
-    L, F = buckets["L"], buckets["F"]
-    lv = [{k: jnp.asarray(v) for k, v in d.items()}
-          for d in buckets["levels"]]
+def bucketed_hash_encoding_traced(meta: dict):
+    """Like bucketed_hash_encoding, but the per-level bucket tables are
+    TRACED arguments instead of baked constants — so per-device bucket
+    tables can ride a shard_map (the view-DP exact texture stage gives
+    each device its own views' buckets, materials/exact_stage.py).
+
+    ``meta`` carries only the static fields of build_hash_grad_buckets'
+    result (res, dense, H, L, F). Returns ``enc(table, x, lv)`` where
+    ``lv`` is the per-level list of {src, w, start, end} ARRAYS with the
+    integer fields as f32 (exact below 2^24 — custom_vjp integer primals
+    would need float0 cotangents)."""
+    res, dense, H = meta["res"], meta["dense"], meta["H"]
+    L, F = meta["L"], meta["F"]
 
     @jax.custom_vjp
-    def enc(table, x):
+    def enc(table, x, lv):
         return _grid_exact(table, x, res, dense, H)
 
-    def fwd(table, x):
-        return _grid_exact(table, x, res, dense, H), (table, x)
+    def fwd(table, x, lv):
+        return _grid_exact(table, x, res, dense, H), (table, x, lv)
 
     def bwd(resid, d_out):
-        table, x = resid
+        table, x, lv = resid
         # precision note: each bucket's gradient is a difference of two
         # nearby values of an f32 prefix sum over up to 8N rows; signed
         # cotangents random-walk, so the prefix magnitude is ~O(sqrt(8N))
@@ -351,20 +352,44 @@ def bucketed_hash_encoding(buckets: dict):
         slices = []
         for l in range(L):
             ct_l = d_feats[:, l, :]                        # (N,F)
-            vals = ct_l[lv[l]["src"]] * lv[l]["w"][:, None]  # (8N,F)
+            src = lv[l]["src"].astype(jnp.int32)
+            vals = ct_l[src] * lv[l]["w"][:, None]         # (8N,F)
             csum = jnp.concatenate(
                 [jnp.zeros((1, F), vals.dtype), jnp.cumsum(vals, axis=0)])
-            seg = csum[lv[l]["end"]] - csum[lv[l]["start"]]  # (H,F)
+            end = lv[l]["end"].astype(jnp.int32)
+            start = lv[l]["start"].astype(jnp.int32)
+            seg = csum[end] - csum[start]                  # (H,F)
             slices.append(seg)
         d_table = jnp.concatenate(slices, axis=0)          # (L*H,F)
         _, vjp = jax.vjp(lambda xx: _grid_exact(table, xx, res, dense, H), x)
         (d_x,) = vjp(d_out)
-        return d_table, d_x
+        d_lv = jax.tree_util.tree_map(jnp.zeros_like, lv)
+        return d_table, d_x, d_lv
 
     enc.defvjp(fwd, bwd)
+    return enc
+
+
+def buckets_as_f32(levels) -> list:
+    """Per-level bucket dicts with every array as f32 (traced-arg form of
+    bucketed_hash_encoding_traced; values stay exact below 2^24)."""
+    return [{k: jnp.asarray(v, jnp.float32) for k, v in d.items()}
+            for d in levels]
+
+
+def bucketed_hash_encoding(buckets: dict):
+    """Exact hash-grid apply whose TABLE gradient uses the static buckets
+    (see build_hash_grad_buckets): scatter-free backward built from row
+    gathers + per-level prefix sums + static boundary differences. The
+    position gradient stays exact-by-autodiff (DCE'd when positions are
+    frozen upstream — the texture stage). Returns apply(params, x) where
+    ``x`` MUST be the (…,3) contracted positions the buckets were built
+    from, in the same flattened order."""
+    enc = bucketed_hash_encoding_traced(buckets)
+    lv = buckets_as_f32(buckets["levels"])
 
     def apply_fn(params, x, step=None, grad_key=None):
-        return enc(params["table"], x)
+        return enc(params["table"], x, lv)
 
     return apply_fn
 

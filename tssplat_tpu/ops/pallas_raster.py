@@ -817,3 +817,272 @@ def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
     )(ids, ct6)
     # unpack: (B,R,128) -> (B,R,16,8) face slots -> (B,R*16,8)
     return out.reshape(B, R, 16, 8).reshape(B, R * 16, 8)[:, :F + 1, :CA]
+
+
+# ---------------------------------------------------------------------------
+# Antialias halo kernel: active-tile silhouette AA (forward + backward)
+# ---------------------------------------------------------------------------
+#
+# The XLA antialias chain evaluates the 3-edge crossing selection on EVERY
+# adjacent pixel pair although only ~1% straddle a silhouette; XLA-level
+# sparsification measured 5x SLOWER (blockify transposes + row gathers,
+# CLAUDE.md). Pallas block indexing slices (1, 8, 128) tiles straight out
+# of the native (B, H, W) layout, and a prefetched per-tile activity flag
+# lets inactive tiles (a) skip the pair math entirely and (b) collapse
+# their expensive input fetches (z, g6, gaux, ct) to block 0 — consecutive
+# inactive tiles then re-use the cached block with no DMA. Tile-boundary
+# pairs (the a-pixel columns 127::128 and rows 7::8) are evaluated by a
+# cheap dense XLA pass on strided slices (ops/rasterize.py
+# _aa_boundary_deltas) — ~6% of all pairs — so the kernel needs NO halo
+# fetches at all. Semantics match ops/rasterize._aa_pairs exactly
+# (tests/test_aa_halo.py diffs fwd AND grads against the dense chain).
+
+
+def _aa_pair_core(id_a, id_b, z_a, z_b, col_a, col_b, g_a, g_b,
+                  aux_a, aux_b, pax, pay, pbx, pby):
+    """One axis of pixel-pair AA deltas on tile-local arrays — the exact
+    math of ops/rasterize._aa_pairs with channel tuples instead of a
+    channel-major array axis (kernel-friendly: every value stays a full
+    (th, tw) VPU tile). g_*: 6-tuples (ax,bx,cx,ay,by,cy); aux_*: 4-tuples
+    (nbr0,nbr1,nbr2,sign). Returns (delta_a, delta_b)."""
+    differ = (id_a != id_b) & ((id_a > 0) | (id_b > 0))
+    owner_a = jnp.where(id_a == 0, False,
+                        jnp.where(id_b == 0, True, z_a <= z_b))
+    other_tri = jnp.where(owner_a, id_b, id_a) - 1
+
+    def oc(j):
+        return jnp.where(owner_a, g_a[j], g_b[j])
+
+    def oa(j):
+        return jnp.where(owner_a, aux_a[j], aux_b[j])
+
+    vx0, vx1, vx2 = oc(0), oc(1), oc(2)
+    vy0, vy1, vy2 = oc(3), oc(4), oc(5)
+    sgn = oa(3)
+
+    def edge(x0, y0, x1, y1, X, Y):
+        return ((x1 - x0) * (Y - y0) - (y1 - y0) * (X - x0)) * sgn
+
+    def crossing(x0, y0, x1, y1):
+        sa = edge(x0, y0, x1, y1, pax, pay)
+        sb = edge(x0, y0, x1, y1, pbx, pby)
+        denom = sa - sb
+        safe = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+        t_all = sa / safe
+        t_exit = jnp.where((sa >= 0) & (sb < 0), t_all, _INF)
+        t_entry = jnp.where((sa < 0) & (sb >= 0), t_all, -_INF)
+        return t_exit, t_entry
+
+    te0, tn0 = crossing(vx0, vy0, vx1, vy1)
+    te1, tn1 = crossing(vx1, vy1, vx2, vy2)
+    te2, tn2 = crossing(vx2, vy2, vx0, vy0)
+
+    def pick3(v0, v1, v2, better):
+        k01 = jnp.where(better(v1, v0), 1, 0)
+        b01 = jnp.where(better(v1, v0), v1, v0)
+        k = jnp.where(better(v2, b01), 2, k01)
+        return jnp.where(better(v2, b01), v2, b01), k
+
+    te, k_exit = pick3(te0, te1, te2, lambda x, y: x < y)
+    tn, k_entry = pick3(tn0, tn1, tn2, lambda x, y: x > y)
+
+    k = jnp.where(owner_a, k_exit, k_entry)
+    t = jnp.where(owner_a, te, tn)
+    found = jnp.isfinite(t)
+
+    nbr = jnp.where(k == 0, oa(0), jnp.where(k == 1, oa(1), oa(2)))
+    shared = (nbr == other_tri.astype(nbr.dtype)) & (other_tri >= 0) & \
+        jnp.where(owner_a, id_b > 0, id_a > 0)
+
+    valid = differ & found & ~shared
+    t = jnp.clip(jnp.where(valid, t, 0.5), 0.0, 1.0)
+    w_a = jnp.maximum(0.5 - t, 0.0) * valid
+    w_b = jnp.maximum(t - 0.5, 0.0) * valid
+    delta_a = (col_b - col_a) * w_a
+    delta_b = (col_a - col_b) * w_b
+    return delta_a, delta_b
+
+
+def _tile_interior_delta(ids, z, g, aux, px, py, dx, dy, th, tw):
+    """Summed AA delta of all pairs fully interior to one (th, tw) tile.
+
+    ids/z/px/py: (th, tw); g: 6-tuple, aux: 4-tuple of (th, tw).
+    dx/dy: NDC pixel pitch. Boundary pairs (a at col tw-1 or row th-1)
+    are excluded — the XLA boundary pass owns them."""
+    fg = (ids > 0).astype(z.dtype)
+
+    def sl(x):      # value at (r, c+1); col tw-1 garbage (masked out)
+        return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+
+    def sr(x):      # shift right one col, zero-fill
+        return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]],
+                               axis=1)
+
+    def su(x):      # value at (r+1, c); row th-1 garbage (masked out)
+        return jnp.concatenate([x[1:], x[:1]], axis=0)
+
+    def sd(x):      # shift down one row, zero-fill
+        return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    maskc = (col < tw - 1).astype(z.dtype)
+    maskr = (row < th - 1).astype(z.dtype)
+
+    da, db = _aa_pair_core(
+        ids, sl(ids), z, sl(z), fg, sl(fg),
+        g, tuple(sl(c) for c in g), aux, tuple(sl(c) for c in aux),
+        px, py, px + dx, py)
+    delta = da * maskc + sr(db * maskc)
+
+    da, db = _aa_pair_core(
+        ids, su(ids), z, su(z), fg, su(fg),
+        g, tuple(su(c) for c in g), aux, tuple(su(c) for c in aux),
+        px, py, px, py + dy)
+    return delta + da * maskr + sd(db * maskr)
+
+
+def _aa_halo_fwd_kernel(flags_ref, ids_ref, z_ref, g6_ref, gaux_ref,
+                        out_ref, *, th, tw, ntx, H, W):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    ids = ids_ref[0]
+    fg = (ids > 0).astype(jnp.float32)
+
+    @pl.when(flags_ref[b * nt + t] == 0)
+    def _passthrough():
+        out_ref[0] = fg
+
+    @pl.when(flags_ref[b * nt + t] != 0)
+    def _active():
+        ty = t // ntx
+        tx = t % ntx
+        row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
+            .astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) \
+            .astype(jnp.float32)
+        py = ((ty * th).astype(jnp.float32) + row + 0.5) / H * 2.0 - 1.0
+        px = ((tx * tw).astype(jnp.float32) + col + 0.5) / W * 2.0 - 1.0
+        g = tuple(g6_ref[0, j] for j in range(6))
+        aux = tuple(gaux_ref[0, j] for j in range(4))
+        delta = _tile_interior_delta(ids, z_ref[0], g, aux, px, py,
+                                     2.0 / W, 2.0 / H, th, tw)
+        out_ref[0] = fg + delta
+
+
+def _aa_halo_bwd_kernel(flags_ref, ids_ref, z_ref, g6_ref, gaux_ref, ct_ref,
+                        dg_ref, *, th, tw, ntx, H, W):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(flags_ref[b * nt + t] == 0)
+    def _inactive():
+        dg_ref[0] = jnp.zeros((6, th, tw), jnp.float32)
+
+    @pl.when(flags_ref[b * nt + t] != 0)
+    def _active():
+        ids = ids_ref[0]
+        ty = t // ntx
+        tx = t % ntx
+        row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
+            .astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) \
+            .astype(jnp.float32)
+        py = ((ty * th).astype(jnp.float32) + row + 0.5) / H * 2.0 - 1.0
+        px = ((tx * tw).astype(jnp.float32) + col + 0.5) / W * 2.0 - 1.0
+        aux = tuple(gaux_ref[0, j] for j in range(4))
+        z = z_ref[0]
+
+        def f(g6):
+            g = tuple(g6[j] for j in range(6))
+            return _tile_interior_delta(ids, z, g, aux, px, py,
+                                        2.0 / W, 2.0 / H, th, tw)
+
+        _, vjp = jax.vjp(f, g6_ref[0])
+        (d_g,) = vjp(ct_ref[0])
+        dg_ref[0] = d_g
+
+
+def _aa_tile_index_maps(ntx, nt):
+    """(full, gated) block index maps for (B, C, H, W)-blocked arrays:
+    ``gated`` collapses inactive tiles to block (b, 0, 0, 0) so consecutive
+    inactive tiles re-use the fetched block with no DMA."""
+    def full(b, t, flags):
+        return (b, 0, t // ntx, t % ntx)
+
+    def gated(b, t, flags):
+        act = flags[b * nt + t] != 0
+        return (b, 0, jnp.where(act, t // ntx, 0),
+                jnp.where(act, t % ntx, 0))
+    return full, gated
+
+
+def aa_halo_forward(flags, ids, z, g6, gaux, th=8, tw=128,
+                    interpret=False):
+    """(B,H,W) antialiased silhouette coverage from tile-INTERIOR pairs:
+    fg + in-tile deltas (add _aa_boundary_deltas for the full image).
+    ``flags`` (B*ntiles,) i32 marks tiles with any active interior pair."""
+    B, H, W = ids.shape
+    nty, ntx = H // th, W // tw
+    nt = nty * ntx
+    full, gated = _aa_tile_index_maps(ntx, nt)
+    tile2 = pl.BlockSpec((1, th, tw), lambda b, t, f: (b, t // ntx, t % ntx),
+                         memory_space=pltpu.VMEM)
+    tile2g = pl.BlockSpec(
+        (1, th, tw),
+        lambda b, t, f: (b,) + tuple(gated(b, t, f)[2:]),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            tile2,                                        # ids: always
+            tile2g,                                       # z: actives only
+            pl.BlockSpec((1, 6, th, tw), gated, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, th, tw), gated, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tile2,
+    )
+    kernel = functools.partial(_aa_halo_fwd_kernel, th=th, tw=tw, ntx=ntx,
+                               H=H, W=W)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        interpret=interpret,
+    )(flags, ids, z, g6, gaux)
+
+
+def aa_halo_backward(flags, ids, z, g6, gaux, ct, th=8, tw=128,
+                     interpret=False):
+    """d_g6 (B,6,H,W) of the tile-interior deltas under cotangent ``ct``
+    (B,H,W) — inactive tiles write zeros and fetch nothing."""
+    B, H, W = ids.shape
+    nty, ntx = H // th, W // tw
+    nt = nty * ntx
+    full, gated = _aa_tile_index_maps(ntx, nt)
+    tile2g = pl.BlockSpec(
+        (1, th, tw),
+        lambda b, t, f: (b,) + tuple(gated(b, t, f)[2:]),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            tile2g,                                       # ids
+            tile2g,                                       # z
+            pl.BlockSpec((1, 6, th, tw), gated, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, th, tw), gated, memory_space=pltpu.VMEM),
+            tile2g,                                       # ct
+        ],
+        out_specs=pl.BlockSpec((1, 6, th, tw), full,
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_aa_halo_bwd_kernel, th=th, tw=tw, ntx=ntx,
+                               H=H, W=W)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 6, H, W), jnp.float32),
+        interpret=interpret,
+    )(flags, ids, z, g6, gaux, ct)

@@ -270,16 +270,21 @@ def emit_overflow_warning(n_drop, tag: str):
     trainer validates capacity at startup/remesh/export with a 2x margin
     (_validated_tile_k); this callback catches deformation beyond the
     margin in between."""
+    # reduce to a SCALAR before the callback: debug callbacks are pinned to
+    # device 0, and feeding them a view-SHARDED (B,) vector forces an SPMD
+    # "involuntary full rematerialization" reshard on every multi-chip
+    # program containing the warning (VERDICT r4 weak #5); the summed
+    # scalar is replicated by the cross-view reduce and reshards freely
     total = jnp.sum(n_drop)
 
-    def fire(nd):
+    def fire(n):
         jax.debug.print(
             "WARNING: rasterizer tile-capacity overflow [" + tag + "]: "
-            "{n} candidate slots dropped per view {v} — silhouette "
-            "gradients are wrong; raise tile_k (validate_tile_capacity) "
-            "or the binning caps", n=jnp.sum(nd), v=nd)
+            "{n} candidate slots dropped — silhouette gradients are wrong; "
+            "raise tile_k (validate_tile_capacity) or the binning caps",
+            n=n)
 
-    jax.lax.cond(total > 0, fire, lambda nd: None, n_drop)
+    jax.lax.cond(total > 0, fire, lambda n: None, total)
 
 
 def _bbox_tile_overlap(sx, sy, v_ok, tri, H, W, tile_h, tile_w,
@@ -543,7 +548,8 @@ def _wsr_bwd(corner, res, ct):
     # assembly moved ~660 MB/step of structurally-zero data)
     t = jnp.where(ids > 0, ids - 1, F)
     CA = min(C, 6)
-    TC = 16 if edge_nbrs is not None else 12       # table column count
+    TC = 16         # table column count (edge_nbrs always present here —
+    # the astype above would already have raised on None)
 
     # TPU path: one Pallas pass over (ids, ct) accumulates the per-face
     # cotangent table by per-tile distinct-winner extraction — exact at any
@@ -1025,3 +1031,122 @@ def antialias(color: jnp.ndarray, rast: jnp.ndarray, pos_clip: jnp.ndarray,
     out = out + jnp.pad(da, ((0, 0), (0, 1), (0, 0), (0, 0)))
     out = out + jnp.pad(db, ((0, 0), (1, 0), (0, 0), (0, 0)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# 3b. Active-tile antialias — Pallas halo path (silhouette only)
+# ---------------------------------------------------------------------------
+#
+# The dense AA chain evaluates crossing math on every adjacent pixel pair
+# though ~1% straddle a silhouette; it is VPU compute-bound (BASELINE.md
+# round-4 roofline). This path splits the pairs:
+#   interior pairs (both pixels in one (8,128) tile, ~94% of pairs) run in
+#     a Pallas kernel that skips inactive tiles entirely (pallas_raster.
+#     aa_halo_forward/backward — prefetched per-tile flags gate both the
+#     compute and the block DMA);
+#   boundary pairs (a-pixel at col 127::128 or row 7::8, ~6%) run through
+#     the ordinary dense _aa_pairs on strided slices, inside the autodiff
+#     graph.
+# Semantics are exactly antialias() on a silhouette where color == fg
+# coverage (tests/test_aa_halo.py: fwd + grads vs the dense chain).
+
+def _aa_tile_flags(ids, th, tw):
+    """(B, ntiles) i32: 1 where the tile has any ACTIVE interior pair
+    (adjacent ids differ, at least one side foreground). Boundary pairs
+    are excluded — the XLA boundary pass owns them."""
+    B, H, W = ids.shape
+    fg = ids > 0
+    hd = (ids[:, :, :-1] != ids[:, :, 1:]) & (fg[:, :, :-1] | fg[:, :, 1:])
+    vd = (ids[:, :-1] != ids[:, 1:]) & (fg[:, :-1] | fg[:, 1:])
+    colmask = (jnp.arange(W - 1) % tw) != tw - 1
+    rowmask = (jnp.arange(H - 1) % th) != th - 1
+    m = jnp.pad(hd & colmask[None, None, :], ((0, 0), (0, 0), (0, 1))) | \
+        jnp.pad(vd & rowmask[None, :, None], ((0, 0), (0, 1), (0, 0)))
+    flags = m.reshape(B, H // th, th, W // tw, tw).any(axis=(2, 4))
+    return flags.reshape(B * (H // th) * (W // tw)).astype(jnp.int32)
+
+
+def _aa_boundary_deltas(color, ids, z, g6, gaux, th, tw):
+    """Dense AA deltas of the tile-BOUNDARY pairs on strided slices:
+    a-columns tw-1::tw and a-rows th-1::th. Returns (B,H,W,C)."""
+    B, H, W, C = color.shape
+    px, py = _pixel_centers((H, W), color.dtype)
+    pcent = jnp.stack([jnp.broadcast_to(px, (H, W)),
+                       jnp.broadcast_to(py, (H, W))], axis=-1)
+    pcent = jnp.broadcast_to(pcent[None], (B, H, W, 2))
+    out = jnp.zeros_like(color)
+
+    import numpy as _np
+    cols = _np.arange(tw - 1, W - 1, tw)
+    if cols.size:
+        da, db = _aa_pairs(color[:, :, cols], color[:, :, cols + 1],
+                           ids[:, :, cols], ids[:, :, cols + 1],
+                           z[:, :, cols], z[:, :, cols + 1],
+                           g6[:, :, :, cols], g6[:, :, :, cols + 1],
+                           gaux[:, :, :, cols], gaux[:, :, :, cols + 1],
+                           pcent[:, :, cols], pcent[:, :, cols + 1])
+        out = out.at[:, :, cols].add(da)
+        out = out.at[:, :, cols + 1].add(db)
+    rows = _np.arange(th - 1, H - 1, th)
+    if rows.size:
+        da, db = _aa_pairs(color[:, rows], color[:, rows + 1],
+                           ids[:, rows], ids[:, rows + 1],
+                           z[:, rows], z[:, rows + 1],
+                           g6[:, :, rows], g6[:, :, rows + 1],
+                           gaux[:, :, rows], gaux[:, :, rows + 1],
+                           pcent[:, rows], pcent[:, rows + 1])
+        out = out.at[:, rows].add(da)
+        out = out.at[:, rows + 1].add(db)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _aa_halo_interior_f(idsf, z, g6, gaux, flagsf, interpret):
+    from .pallas_raster import aa_halo_forward
+    return aa_halo_forward(flagsf.astype(jnp.int32), idsf.astype(jnp.int32),
+                           z, g6, gaux, interpret=interpret)
+
+
+def _ah_fwd(idsf, z, g6, gaux, flagsf, interpret):
+    return (_aa_halo_interior_f(idsf, z, g6, gaux, flagsf, interpret),
+            (idsf, z, g6, gaux, flagsf))
+
+
+def _ah_bwd(interpret, res, ct):
+    from .pallas_raster import aa_halo_backward
+    idsf, z, g6, gaux, flagsf = res
+    d_g6 = aa_halo_backward(flagsf.astype(jnp.int32),
+                            idsf.astype(jnp.int32), z, g6, gaux, ct,
+                            interpret=interpret)
+    return (jnp.zeros_like(idsf), jnp.zeros_like(z), d_g6,
+            jnp.zeros_like(gaux), jnp.zeros_like(flagsf))
+
+
+_aa_halo_interior_f.defvjp(_ah_fwd, _ah_bwd)
+
+
+def aa_halo_enabled() -> bool:
+    """Halo-AA dispatch gate (TSSPLAT_AA_HALO=off forces the dense chain;
+    =interpret runs the kernels in interpreter mode off-TPU for tests)."""
+    return os.environ.get("TSSPLAT_AA_HALO", "auto") != "off"
+
+
+def antialias_silhouette_halo(color, rast, g_pair, th: int = 8,
+                              tw: int = 128,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Silhouette antialias via the active-tile Pallas kernels.
+
+    Drop-in for antialias(color, rast, …, g_precomputed=g_pair) when
+    ``color`` IS the (B,H,W,1) coverage (clip(id,0,1) == fg — the
+    silhouette loss path) and no viewport/row_valid is in play. Gradients
+    flow to g_pair[0] exactly like the dense chain's."""
+    g6, gaux = g_pair
+    ids = rast[..., 3].astype(jnp.int32)
+    z = jax.lax.stop_gradient(rast[..., 2])
+    flags = _aa_tile_flags(ids, th, tw)
+    interior = _aa_halo_interior_f(
+        ids.astype(jnp.float32), z, g6, jax.lax.stop_gradient(gaux),
+        flags.astype(jnp.float32), interpret)
+    boundary = _aa_boundary_deltas(color, ids, z, g6,
+                                   jax.lax.stop_gradient(gaux), th, tw)
+    return interior[..., None] + boundary

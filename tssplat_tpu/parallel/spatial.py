@@ -32,7 +32,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:                                    # JAX >= 0.8: top-level API
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:                     # older JAX: experimental home
+    from jax.experimental.shard_map import shard_map
 
 SPATIAL_AXIS = "sp"
 HALO = 8  # one tile row: keeps slabs 8-row aligned and covers AA pairs
@@ -62,7 +70,7 @@ def spatial_silhouette_loss(tet_v, statics, mvp, target_alpha, mesh: Mesh,
     se = _spatial_pixel_losses(
         tet_v, statics, mvp, target_alpha[..., None], None, None,
         mesh, resolution, is_ortho=is_ortho, method=method, tile_k=tile_k,
-        fit_depth=False, fit_normal=False)[0]
+        fit_depth=False, fit_normal=False)[0]  # (sil, dep, nrm, n_drop)
     H = W = int(resolution)
     return se / (mvp.shape[0] * H * W)
 
@@ -113,16 +121,22 @@ def _spatial_pixel_losses(tet_v, statics, mvp, target_img, target_d,
         absr = row0 + jnp.arange(slab_h)
         valid = (absr >= 0) & (absr < H)                 # halo + pad rows
 
+        # slab-local dropped-candidate counters, psum'd with the losses so
+        # tile-capacity overflow under spatial sharding reaches the
+        # trainer's host-side warning on axon too (ADVICE r4)
+        drops = []
         if need_shading:
             # differentiable barycentric shading needed for depth/normal
             rast = rasterize(pos_clip, tri_c, (slab_h, W), corner=True,
-                             viewport=(row0, H), method=method, k=tile_k)
+                             viewport=(row0, H), method=method, k=tile_k,
+                             drops_out=drops)
             rast = rast * valid.astype(rast.dtype)[None, :, None, None]
             g = None
         else:
             rast, g = rasterize_silhouette_with_rows(
                 pos_clip, tri_c, (slab_h, W), statics.edge_nbrs,
-                corner=True, viewport=(row0, H), method=method, k=tile_k)
+                corner=True, viewport=(row0, H), method=method, k=tile_k,
+                drops_out=drops)
             rast = rast * valid.astype(rast.dtype)[None, :, None, None]
             if g is not None:                            # (g_xy, g_aux)
                 vm = valid.astype(rast.dtype)[None, None, :, None]
@@ -157,7 +171,10 @@ def _spatial_pixel_losses(tet_v, statics, mvp, target_img, target_d,
                 normal_se = jnp.sum(
                     ((n_own - n_l[..., :3]) * a_gt[..., None]) ** 2)
 
-        out = jnp.stack([sil, depth_se, normal_se])
+        n_drop = sum(jnp.sum(d) for d in drops) if drops \
+            else jnp.zeros((), jnp.int32)
+        out = jnp.stack([sil, depth_se, normal_se,
+                         n_drop.astype(jnp.float32)])
         out = jax.lax.psum(out, SPATIAL_AXIS)
         if has_view:
             out = jax.lax.psum(out, "view")
@@ -174,7 +191,7 @@ def _spatial_pixel_losses(tet_v, statics, mvp, target_img, target_d,
                   in_specs=(P(), vspec, tspec, tspec, tspec, vspec),
                   out_specs=P(), check_rep=False)
     out = f(tet_v, mvp, target_img, d_in, n_in, cam_in)
-    return out[0], out[1], out[2]
+    return out[0], out[1], out[2], out[3].astype(jnp.int32)
 
 
 def shard_spatial_batch(mvp, target_alpha, mesh: Mesh):
@@ -207,7 +224,9 @@ def spatial_geometry_loss(tet_v, statics, batch, it, mesh: Mesh,
     render, so sharding it over tets would trade a cheap replicated
     compute for collectives on every neighbor gather).
 
-    Returns (loss, (img_loss, reg)).
+    Returns (loss, (img_loss, reg, n_drop)) — n_drop is the summed
+    dropped-candidate-slot counter across all slabs/views (see
+    RenderOutput.n_drop; the trainer warns host-side when it is non-zero).
     """
     from ..geometry.tet_geometry import geometry_forward
 
@@ -222,7 +241,7 @@ def spatial_geometry_loss(tet_v, statics, batch, it, mesh: Mesh,
     B = batch["mvp"].shape[0]
     H = W = int(resolution)
     denom = B * H * W
-    sil, dep, nrm = _spatial_pixel_losses(
+    sil, dep, nrm, n_drop = _spatial_pixel_losses(
         tet_v, statics, batch["mvp"], batch["img"],
         batch.get("d") if fit_depth else None,
         batch.get("n") if fit_normal else None,
@@ -236,7 +255,7 @@ def spatial_geometry_loss(tet_v, statics, batch, it, mesh: Mesh,
         img_loss = img_loss + normal_weight * nrm / (denom * 3)
     reg = geometry_forward(tet_v, statics, it).energy \
         if statics.energy is not None else jnp.zeros(())
-    return img_loss * 100.0 + reg, (img_loss, reg)
+    return img_loss * 100.0 + reg, (img_loss, reg, n_drop)
 
 
 # batch entries sharded per-pixel-row (B,H,...) vs per-view (B,...)

@@ -28,7 +28,8 @@ from ..config import parse_structured
 from ..geometry.tet_geometry import (geometry_forward, compute_vertex_normals,
                                      GeometryStatics)
 from ..ops.rasterize import (rasterize, rasterize_silhouette_with_rows,
-                             interpolate, antialias)
+                             interpolate, antialias,
+                             antialias_silhouette_halo, aa_halo_enabled)
 from ..ops.transform import transform_pos
 
 
@@ -178,8 +179,18 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
     # silhouette: coverage channel is (tri_id + 1), clamp to [0,1] then AA —
     # the sole source of coverage gradients (reference :106-108)
     alpha = jnp.clip(rast[..., 3:4], 0.0, 1.0)
-    alpha = antialias(alpha, rast, pos_clip, tri_c, geom.edge_nbrs,
-                      corner=True, g_precomputed=g_rows)
+    H, W = res
+    if (g_rows is not None and aa_halo_enabled()
+            and H % 8 == 0 and W % 128 == 0):
+        # active-tile Pallas AA: interior pairs in the halo kernel
+        # (inactive tiles skip compute AND DMA), boundary pairs in a
+        # cheap strided XLA pass — same math, ~1% of pairs do work
+        alpha = antialias_silhouette_halo(
+            alpha, rast, g_rows,
+            interpret=jax.default_backend() in ("cpu", "gpu"))
+    else:
+        alpha = antialias(alpha, rast, pos_clip, tri_c, geom.edge_nbrs,
+                          corner=True, g_precomputed=g_rows)
 
     shaded = alpha
     if not only_alpha:
@@ -212,8 +223,19 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
                                 keepdims=True)
 
     B = mvp.shape[0]
-    n_drop = sum(drops) if drops else jnp.zeros((B,), jnp.int32)
-    n_drop = jax.lax.stop_gradient(jnp.broadcast_to(n_drop, (B,)))
+
+    def _per_view(d):
+        # normalize counter shapes at the boundary: every current path
+        # emits per-view (B,) counts, but a scalar TOTAL broadcast to (B,)
+        # would overcount B× in the trainer's jnp.sum — park a scalar in
+        # view 0 so the summed count stays exact (ADVICE r4)
+        d = jnp.asarray(d)
+        if d.ndim == 0:
+            return jnp.zeros((B,), d.dtype).at[0].set(d)
+        return d
+    n_drop = sum(_per_view(d) for d in drops) if drops \
+        else jnp.zeros((B,), jnp.int32)
+    n_drop = jax.lax.stop_gradient(n_drop)
     return RenderOutput(shaded=shaded, geo_regularization=fwd.energy,
                         normal=normal, depth=depth, n_drop=n_drop)
 

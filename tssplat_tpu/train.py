@@ -244,12 +244,11 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
             # each view's pixel rows across the mesh's 'sp' axis under
             # shard_map — exact loss incl. gradients (tests/test_spatial.py)
             from .parallel.spatial import spatial_geometry_loss
-            loss, (il, rg) = spatial_geometry_loss(
+            loss, (il, rg, nd) = spatial_geometry_loss(
                 tet_v, statics, batch, it, sp_mesh, resolution,
                 is_ortho=is_ortho, tile_k=tile_k, fit_depth=fit_depth,
                 fit_normal=fit_normal, normal_weight=normal_weight)
-            # drop counters not yet threaded through the shard_map slabs
-            return loss, (il, rg, jnp.zeros((), jnp.int32))
+            return loss, (il, rg, nd)
 
         # pre-chunked batches (mvp (n_chunks, chunk, 4, 4)) come from
         # shard_batch(view_chunk=…): the chunk axis is device-sharded and a
@@ -596,27 +595,64 @@ def train(cfg):
     # dense parity path, but with the frozen-geometry raster/foreground
     # precomputed and a scatter-free hash-table gradient (0.102 -> usable
     # it/s; see materials/exact_stage.py). Requires each forward to see
-    # every view (the shipped texture configs do) and a plain HashGrid.
+    # every view exactly once (the shipped texture configs do) and a plain
+    # HashGrid. Under a view-DP mesh the cache/buckets shard over views
+    # (per-device table gradients psum — VERDICT r4 #4); every fallback to
+    # the ~35x-slower dense path warns LOUDLY with its reason.
     texture_exact = None
     if (fitting_stage == "texture"
             and not int(cfg.get("texture_sample_px", 0))
-            and bool(cfg.get("texture_exact_fast", True))
-            and not fit_depth_cfg and not bool(cfg.get("fit_normal", False))
-            and mesh is None and sp_mesh is None and n_proc == 1
-            and int(cfg.get("data", {}).get("world_size", 1)) == 1
-            and num_forward_per_iter == 1):
-        from .materials.exact_stage import (build_texture_exact_cache,
-                                            build_texture_exact_loss)
-        cache_e = build_texture_exact_cache(
-            geometry, material, dataloader.data_all, resolution,
-            is_ortho=is_ortho, tile_k=tile_k,
-            max_px=int(cfg.get("texture_exact_max_px", 4_000_000)))
-        if cache_e is not None:
-            texture_exact = build_texture_exact_loss(
-                material, geometry.statics, cache_e)
-            print(f"exact texture fast path: {cache_e['n']} views, "
-                  f"P={cache_e['P']} fg pixels/view, scatter-free table "
-                  f"gradient", flush=True)
+            and bool(cfg.get("texture_exact_fast", True))):
+        n_views_total = int(np.asarray(dataloader.data_all["mvp"]).shape[0])
+        reason = None
+        if fit_depth_cfg or bool(cfg.get("fit_normal", False)):
+            reason = ("the stage fits depth/normal terms (exact path "
+                      "computes the color L1 + AA only)")
+        elif sp_mesh is not None:
+            reason = "spatial sharding is enabled (use view-DP instead)"
+        elif n_proc > 1 or int(cfg.get("data", {}).get("world_size", 1)) > 1:
+            reason = "multi-host runs are not supported by the exact path"
+        elif num_forward_per_iter != 1 or batch_size != n_views_total:
+            # batch_size > n duplicates wraparound views in the dense loss
+            # weighting; the exact path sees each view exactly once —
+            # silently diverging semantics (ADVICE r4)
+            reason = (f"batch_size={batch_size} x num_forward_per_iter="
+                      f"{num_forward_per_iter} != dataset views "
+                      f"{n_views_total} (exact path evaluates every view "
+                      f"exactly once per step)")
+        else:
+            n_shards = 1
+            if mesh is not None:
+                if n_views_total % n_dev == 0:
+                    n_shards = n_dev
+                else:
+                    print(f"exact texture: {n_views_total} views don't "
+                          f"divide {n_dev} devices — running the exact "
+                          f"path replicated (no view sharding)", flush=True)
+            from .materials.exact_stage import (build_texture_exact_cache,
+                                                build_texture_exact_loss)
+            reasons = []
+            cache_e = build_texture_exact_cache(
+                geometry, material, dataloader.data_all, resolution,
+                is_ortho=is_ortho, tile_k=tile_k,
+                max_px=int(cfg.get("texture_exact_max_px", 4_000_000)),
+                n_shards=n_shards, reason_out=reasons)
+            if cache_e is not None:
+                texture_exact = build_texture_exact_loss(
+                    material, geometry.statics, cache_e,
+                    mesh=mesh if n_shards > 1 else None)
+                print(f"exact texture fast path: {cache_e['n']} views, "
+                      f"P={cache_e['P']} fg pixels/view, scatter-free "
+                      f"table gradient"
+                      + (f", view-sharded over {n_shards} devices"
+                         if n_shards > 1 else ""), flush=True)
+            else:
+                reason = reasons[0] if reasons else "cache build failed"
+        if texture_exact is None:
+            print(f"WARNING: exact texture fast path DISABLED — {reason}. "
+                  f"Falling back to the dense autodiff path (~35x slower: "
+                  f"0.102 vs 3.6 it/s at 8x512^2, BASELINE.md).",
+                  flush=True)
 
     def get_step(fit_depth_on: bool):
         if fit_depth_on not in steps:
