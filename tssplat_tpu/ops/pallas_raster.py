@@ -34,9 +34,17 @@ from .rasterize import (_screen, _bbox_tile_overlap, _next_pow2,
 
 _INF = float("inf")
 
-# SMEM budget for the shared per-triangle table (v5e compiles ~512 KB of
-# SMEM blocks; leave headroom for the candidate-id blocks + prefetch)
-_SMEM_TBL_BUDGET = 384 * 1024
+# SMEM budget for the shared per-triangle table + flat pair list. The v5e
+# has 1.00 MB of SMEM (measured: "Ran out of memory in memory space smem.
+# Used 1.08M of 1.00M"); input windows are DOUBLE-buffered by default, but
+# the table/list windows are constant across a view's whole tile grid, so
+# they ride pl.Buffered(buffer_count=1) and cost their plain size. 768 KB
+# leaves ~25% headroom for the prefetch scalars + small windows. Round 5:
+# the old 384 KB double-buffered budget silently dropped the production
+# 8-sphere scene (6.6k faces x 16ch = 421 KB table) to the dense
+# pre-gather path — 15.5 ms/step of binning gathers, 44% of the step.
+_SMEM_TBL_BUDGET = 768 * 1024
+_SINGLE_BUF = pl.Buffered(buffer_count=1)
 
 
 def _vis_kernel(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
@@ -598,8 +606,14 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     med_cap = min(256, F)
     pool_cap = min(64, F)
     L = 4 * F + 32 * med_cap
-    flat_mode = shared_tbl and \
-        ((F + 1) * R + L + pool_cap) * 4 <= _SMEM_TBL_BUDGET
+    flat_bytes = ((F + 1) * R + L + pool_cap) * 4
+    flat_mode = shared_tbl and flat_bytes <= _SMEM_TBL_BUDGET
+    # double-buffer the per-view windows when BOTH copies fit (small
+    # scenes): the fetch then overlaps the previous view's compute;
+    # single-buffer only when the second copy would blow the 1 MB SMEM
+    # (the production 8-sphere scene: 26.9 -> 50.3 it/s vs the dense
+    # fallback the old budget forced)
+    view_buf = None if 2 * flat_bytes <= _SMEM_TBL_BUDGET else _SINGLE_BUF
 
     # outputs are written in FINAL layout — the tile grid maps straight to
     # (row-block, col-block) of (B,H,W) / channel-major (B,16,H,W), so no
@@ -637,15 +651,21 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
             num_scalar_prefetch=4,
             grid=(B, ntiles),
             in_specs=[
+                # single-buffered: these windows are constant across the
+                # view's whole tile grid (index_map ignores t), so a second
+                # revolving buffer would only burn SMEM (1 MB total)
                 pl.BlockSpec((1, R, F + 1), lambda b, t, *_: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
+                             memory_space=pltpu.SMEM,
+                             pipeline_mode=view_buf),
                 # TPU lowering requires the last two block dims to equal
                 # the array dims — ride a singleton middle axis so the
                 # per-view (L,) list is a full (1, L) trailing block
                 pl.BlockSpec((1, 1, L), lambda b, t, *_: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
+                             memory_space=pltpu.SMEM,
+                             pipeline_mode=view_buf),
                 pl.BlockSpec((1, 1, pool_cap), lambda b, t, *_: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
+                             memory_space=pltpu.SMEM,
+                             pipeline_mode=view_buf),
             ],
             out_specs=tuple(out_specs),
         )
@@ -670,9 +690,12 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
             emit_overflow_warning(n_drop, "pallas-dense")  # unbatched here
 
         if shared_tbl:
+            shared_buf = None if 2 * (F + 1) * R * 4 <= _SMEM_TBL_BUDGET \
+                else _SINGLE_BUF
             data_spec = pl.BlockSpec((1, R, F + 1),
                                      lambda b, t, *_: (b, 0, 0),
-                                     memory_space=pltpu.SMEM)
+                                     memory_space=pltpu.SMEM,
+                                     pipeline_mode=shared_buf)
             data_arg = data                              # (B,R,F+1)
         else:
             data_spec = pl.BlockSpec((1, 1, R, k),
@@ -846,8 +869,9 @@ def _aa_pair_core(id_a, id_b, z_a, z_b, col_a, col_b, g_a, g_b,
     (th, tw) VPU tile). g_*: 6-tuples (ax,bx,cx,ay,by,cy); aux_*: 4-tuples
     (nbr0,nbr1,nbr2,sign). Returns (delta_a, delta_b)."""
     differ = (id_a != id_b) & ((id_a > 0) | (id_b > 0))
-    owner_a = jnp.where(id_a == 0, False,
-                        jnp.where(id_b == 0, True, z_a <= z_b))
+    # boolean algebra, not where-with-scalar-bools: Mosaic rejects select_n
+    # on Python bool literals ("Unsupported target bitwidth for truncation")
+    owner_a = (id_a != 0) & ((id_b == 0) | (z_a <= z_b))
     other_tri = jnp.where(owner_a, id_b, id_a) - 1
 
     def oc(j):
@@ -891,8 +915,11 @@ def _aa_pair_core(id_a, id_b, z_a, z_b, col_a, col_b, g_a, g_b,
     found = jnp.isfinite(t)
 
     nbr = jnp.where(k == 0, oa(0), jnp.where(k == 1, oa(1), oa(2)))
+    # ((owner_a & b_fg) | (~owner_a & a_fg)) instead of an i1 select —
+    # Mosaic rejects select_n producing i1 vectors (same class as above)
+    other_fg = (owner_a & (id_b > 0)) | (~owner_a & (id_a > 0))
     shared = (nbr == other_tri.astype(nbr.dtype)) & (other_tri >= 0) & \
-        jnp.where(owner_a, id_b > 0, id_a > 0)
+        other_fg
 
     valid = differ & found & ~shared
     t = jnp.clip(jnp.where(valid, t, 0.5), 0.0, 1.0)
