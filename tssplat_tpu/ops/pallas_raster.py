@@ -195,7 +195,8 @@ def _vis_kernel_g(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
 
 def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
                      data_ref, vals_ref, pool_ref, *out_refs,
-                     tile_h, tile_w, ntx, H, W, pool_cap, emit_g):
+                     tile_h, tile_w, ntx, H, W, pool_cap, emit_g,
+                     z_sorted=False):
     """Visibility search over the FLAT candidate layout: per-tile ids are
     read from the view's sorted (tile, id) pair list at the tile's start
     offset (both SMEM, shared across the view's tile grid) plus a small
@@ -203,8 +204,17 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
     matrix exists anywhere, so binning memory stays proportional to the
     actual overlap pairs and no per-tile capacity can drop triangles.
     ``emit_g`` additionally emits the winner's split AA rows (6 xy + 4
-    aux channels) like
-    _vis_kernel_g."""
+    aux channels) like _vis_kernel_g.
+
+    ``z_sorted``: each tile's binned candidates are ordered by quantized
+    face z-min (bin_triangles z-aware key packing) and table row 11 holds
+    the quantization-bucket LOWER bound — the walk then EXITS as soon as
+    every pixel of the tile is covered nearer than the next candidate's
+    bound. Exact: a skipped candidate's interpolated z >= its bucket
+    bound >= the cut candidate's bound > max(best_z), so it loses the
+    depth test at every pixel strictly (no ties either). On occlusion-
+    heavy scenes (the 8-sphere production stack-up) most depth layers are
+    never walked."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -223,11 +233,18 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
     start = starts_ref[b * nt + t]
     npool = npool_ref[b]
 
-    def body(i, carry):
-        best_z, best_id = carry[0], carry[1]
+    L = vals_ref.shape[-1]
+
+    def read_tid(i):
+        # clamp: the while-loop's cond probes index i == count after the
+        # last candidate — keep the (ignored) read in bounds
         ip = jnp.minimum(i, pool_cap - 1)
-        iv = start + jnp.maximum(i - npool, 0)
-        tid0 = jnp.where(i < npool, pool_ref[0, 0, ip], vals_ref[0, 0, iv])
+        iv = jnp.minimum(start + jnp.maximum(i - npool, 0), L - 1)
+        return jnp.where(i < npool, pool_ref[0, 0, ip], vals_ref[0, 0, iv])
+
+    def body_at(i, carry, live=None):
+        best_z, best_id = carry[0], carry[1]
+        tid0 = read_tid(i)
         tid = tid0 + 1                       # winner convention: id + 1
         rd = lambda ch: data_ref[0, ch, tid0]            # noqa: E731
         ax = rd(0)
@@ -251,6 +268,8 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
         zc = jnp.where(cov, z, _INF)
         # same smaller-id tie-break as _vis_kernel (see note there)
         take = (zc < best_z) | ((zc == best_z) & cov & (tid < best_id))
+        if live is not None:
+            take = take & live               # chunk tail past count
         out = (jnp.where(take, zc, best_z), jnp.where(take, tid, best_id))
         if emit_g:
             sgn = jnp.sign(inv_area)
@@ -266,7 +285,32 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
             jnp.zeros((tile_h, tile_w), jnp.int32))
     if emit_g:
         init = init + (tuple(zero for _ in range(10)),)
-    res = jax.lax.fori_loop(0, count, body, init)
+    if z_sorted:
+        # chunked occlusion cut: a bare while-loop serializes every
+        # iteration behind its cond's tile-wide max reduce (measured 113 ->
+        # 75 it/s on the toy scene); a fori_loop of CK iterations inside
+        # the while keeps Mosaic's loop pipelining and amortizes the cut
+        # check — the walk overshoots the optimal exit by < CK candidates
+        CK = 16
+
+        def cond(carry):
+            i, best_z = carry[0], carry[1]
+            zlb = data_ref[0, 11, read_tid(i)]   # bucket lower bound
+            cut = (i >= npool) & (zlb > jnp.max(best_z))
+            return (i < count) & ~cut
+
+        def wbody(carry):
+            i0 = carry[0]
+
+            def inner(j, st):
+                idx = i0 + j
+                return body_at(idx, st, live=idx < count)
+
+            return (i0 + CK,) + jax.lax.fori_loop(0, CK, inner, carry[1:])
+
+        res = jax.lax.while_loop(cond, wbody, (jnp.int32(0),) + init)[1:]
+    else:
+        res = jax.lax.fori_loop(0, count, body_at, init)
     best_z, best_id = res[0], res[1]
     fg = best_id > 0
     out_refs[0][0] = best_id
@@ -282,6 +326,47 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
         gaux_ref[0, 1] = chans[7] * fgf      # nbr1
         gaux_ref[0, 2] = chans[8] * fgf      # nbr2
         gaux_ref[0, 3] = chans[9] * fgf      # sign(area)
+
+
+def _z_cut_enabled() -> bool:
+    """Occlusion early-exit in the flat visibility kernel
+    (TSSPLAT_Z_CUT=on). Default OFF — a measured NEGATIVE result: with
+    z-ordered candidates and a chunked while-loop cut (CK=16) the kernel
+    read 89 it/s default / 43 it/s 8-sphere vs 113 / 51 for the plain
+    fori walk (a bare per-iteration cut was worse still, 75 / 30). The
+    tile-wide max reduce in the loop condition serializes chunks that the
+    fixed-trip fori pipelines, and it costs more than the skipped depth
+    layers save even on the occlusion-heavy production scene. The
+    z-ordered candidate packing itself is order-only (identical output:
+    ties break by id) and stays, so the cut can be re-evaluated on future
+    toolchains by flipping the env."""
+    import os
+    return os.environ.get("TSSPLAT_Z_CUT", "off") == "on"
+
+
+def _z_sort_levels(ntiles: int, F: int) -> int:
+    """Power-of-2 z-quantization level count that still packs
+    (tile, z-bucket, id) into one int32 sort key; 0 disables z ordering
+    (< 4 levels isn't worth the while-loop overhead)."""
+    room = (2 ** 31) // ((ntiles + 1) * (F + 1))
+    lv = 1
+    while lv * 2 <= room:
+        lv *= 2
+    return lv if lv >= 4 else 0
+
+
+def _face_zmin_q(sz, v_ok, tri, corner, F, zlv):
+    """Per-face quantized z-min bucket (int32 in [0, zlv)). MUST be the
+    single source of truth for both the sort key (bin_triangles) and the
+    table's bucket-lower-bound row (_prepare_candidates) — the early-exit
+    proof needs them consistent."""
+    if corner:
+        zf = sz.reshape(F, 3)
+    else:
+        zf = sz[tri]
+    zmin = zf.min(axis=1)
+    return jnp.clip(((zmin + 1.0) * (0.5 * zlv)).astype(jnp.int32),
+                    0, zlv - 1)
 
 
 def _tile_range(lo, hi, tile_px, ntiles_axis):
@@ -332,7 +417,7 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
     """
     H, W = resolution
     F = tri.shape[0]
-    sx, sy, _, v_ok = _screen(pos)
+    sx, sy, sz, v_ok = _screen(pos)
     nty, ntx = H // tile_h, W // tile_w
     ntiles = nty * ntx
     if corner:
@@ -385,7 +470,26 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
 
     keys = jnp.concatenate([keys0.reshape(-1), keys1.reshape(-1)])
     vals = jnp.concatenate([vals0.reshape(-1), vals1.reshape(-1)])
-    if (ntiles + 1) * (F + 1) < 2 ** 31:
+    zlv = _z_sort_levels(ntiles, F) if (flat and _z_cut_enabled()) else 0
+    if zlv:
+        # pack (tile, z-bucket, id): within each tile candidates come out
+        # ordered by quantized face z-min, enabling the flat kernel's
+        # occlusion early-exit (see _vis_kernel_flat). id stays in the low
+        # bits, preserving the ascending-id tie-break within a bucket.
+        zq = _face_zmin_q(sz, v_ok, tri, corner, F, zlv)
+        # per-slot z buckets by BROADCAST, not zq[vals] — that 34k-row
+        # gather per view measured ~12% of the whole step (row-bound);
+        # tier-0 slots are iota-aligned and tier-1 needs only med_cap rows
+        zq_slot = jnp.concatenate(
+            [jnp.broadcast_to(zq[:, None], (F, 4)).reshape(-1),
+             jnp.broadcast_to(zq[med_safe][:, None],
+                              (med_cap, MY * MX)).reshape(-1)])
+        code = jax.lax.sort((keys * zlv + zq_slot) * (F + 1) + vals,
+                            is_stable=False)
+        starts = jnp.searchsorted(
+            code, jnp.arange(ntiles + 1, dtype=jnp.int32) * (zlv * (F + 1)))
+        vals_s = code % (F + 1)
+    elif (ntiles + 1) * (F + 1) < 2 ** 31:
         # pack (tile, id) into one int32 — a single-operand sort is ~2x a
         # two-operand sort on TPU, and tile starts fall out of searchsorted
         # on the packed code directly
@@ -494,8 +598,19 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     ok2 = ok & (jnp.abs(area) > _AREA_EPS)
     inv_area = jnp.where(ok2, 1.0 / jnp.where(ok2, area, 1.0), 0.0)
+    # row 11: the z-sort bucket LOWER bound of the face (flat mode with
+    # z-ordered candidates) — the kernel's early-exit threshold. Must come
+    # from the same quantizer as the sort key (_face_zmin_q).
+    nty_, ntx_ = H // tile_h, W // tile_w
+    zlv = _z_sort_levels(nty_ * ntx_, F) if (flat and _z_cut_enabled()) \
+        else 0
+    if zlv:
+        zlb = _face_zmin_q(sz, v_ok, tri, corner, F, zlv) \
+            .astype(jnp.float32) * (2.0 / zlv) - 1.0
+    else:
+        zlb = jnp.zeros_like(ax)
     cols = [ax, ay, bx, by, cx, cy, z0, z1, z2, inv_area,
-            ok2.astype(jnp.float32), jnp.zeros_like(ax)]
+            ok2.astype(jnp.float32), zlb]
     if edge_nbrs is not None:
         en = edge_nbrs.astype(pos.dtype)
         cols += [en[:, 0], en[:, 1], en[:, 2], jnp.zeros_like(ax)]
@@ -672,7 +787,9 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         kernel = functools.partial(_vis_kernel_flat, tile_h=tile_h,
                                    tile_w=tile_w, ntx=ntx, H=fh, W=W,
                                    pool_cap=pool_cap,
-                                   emit_g=with_g is not None)
+                                   emit_g=with_g is not None,
+                                   z_sorted=_z_cut_enabled()
+                                   and _z_sort_levels(ntiles, F) > 0)
         results = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
