@@ -43,7 +43,10 @@ _INF = float("inf")
 # the old 384 KB double-buffered budget silently dropped the production
 # 8-sphere scene (6.6k faces x 16ch = 421 KB table) to the dense
 # pre-gather path — 15.5 ms/step of binning gathers, 44% of the step.
-_SMEM_TBL_BUDGET = 768 * 1024
+# 880 KB: the 12-sphere GSO-Mario production scene (~9.9k faces) needs
+# 824 KB single-buffered (633 KB table + 191 KB pair list) + ~20 KB of
+# prefetch scalars — compile-probed under the 1.00 MB cap
+_SMEM_TBL_BUDGET = 880 * 1024
 _SINGLE_BUF = pl.Buffered(buffer_count=1)
 
 
