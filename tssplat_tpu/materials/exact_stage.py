@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.networks import (build_hash_grad_buckets,
-                               bucketed_hash_encoding_traced, buckets_as_f32)
+                               bucketed_hash_encoding_traced, buckets_as_arrays)
 from .explicit_material import contract_to_unisphere
 
 
@@ -200,7 +200,7 @@ def build_texture_exact_loss(material, statics, cache: dict, mesh=None):
     denom = n * res * res * 3
 
     if mesh is None:
-        lv = buckets_as_f32(buckets["levels"])
+        lv = buckets_as_arrays(buckets["levels"])
         xc, inv, mask = cache["xc"], cache["inv"], cache["mask"]
         gt, bg = cache["gt"], cache["bg"]
         rast, pos_clip = cache["rast"], cache["pos_clip"]
@@ -224,7 +224,7 @@ def build_texture_exact_loss(material, statics, cache: dict, mesh=None):
         raise ValueError(f"cache built with n_shards="
                          f"{cache.get('n_shards', 1)} but mesh has {S} "
                          f"devices — rebuild with n_shards={S}")
-    lv_st = [{k: jnp.asarray(v, jnp.float32) for k, v in d.items()}
+    lv_st = [{k: jnp.asarray(v) for k, v in d.items()}
              for d in buckets["levels"]]                 # (S, …) per level
     xc3 = cache["xc"].reshape(n, P, 3)
 

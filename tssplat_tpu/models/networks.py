@@ -325,9 +325,11 @@ def bucketed_hash_encoding_traced(meta: dict):
 
     ``meta`` carries only the static fields of build_hash_grad_buckets'
     result (res, dense, H, L, F). Returns ``enc(table, x, lv)`` where
-    ``lv`` is the per-level list of {src, w, start, end} ARRAYS with the
-    integer fields as f32 (exact below 2^24 — custom_vjp integer primals
-    would need float0 cotangents)."""
+    ``lv`` is the per-level list of {src, w, start, end} ARRAYS — the
+    index fields stay INTEGER (start/end reach 8*N which exceeds f32's
+    2^24 exact-integer range already at 60 views x 512^2; a float carrier
+    would silently mis-bucket the table gradient); their cotangents are
+    float0 like every integer primal."""
     res, dense, H = meta["res"], meta["dense"], meta["H"]
     L, F = meta["L"], meta["F"]
 
@@ -363,18 +365,23 @@ def bucketed_hash_encoding_traced(meta: dict):
         d_table = jnp.concatenate(slices, axis=0)          # (L*H,F)
         _, vjp = jax.vjp(lambda xx: _grid_exact(table, xx, res, dense, H), x)
         (d_x,) = vjp(d_out)
-        d_lv = jax.tree_util.tree_map(jnp.zeros_like, lv)
+
+        def zero_ct(t):
+            if jnp.issubdtype(t.dtype, jnp.floating):
+                return jnp.zeros_like(t)
+            return np.zeros(np.shape(t), jax.dtypes.float0)
+        d_lv = jax.tree_util.tree_map(zero_ct, lv)
         return d_table, d_x, d_lv
 
     enc.defvjp(fwd, bwd)
     return enc
 
 
-def buckets_as_f32(levels) -> list:
-    """Per-level bucket dicts with every array as f32 (traced-arg form of
-    bucketed_hash_encoding_traced; values stay exact below 2^24)."""
-    return [{k: jnp.asarray(v, jnp.float32) for k, v in d.items()}
-            for d in levels]
+def buckets_as_arrays(levels) -> list:
+    """Per-level bucket dicts as device arrays in their NATIVE dtypes —
+    index fields (src/start/end) stay int32 (8N exceeds f32's exact-int
+    range at production texture scales), weights f32."""
+    return [{k: jnp.asarray(v) for k, v in d.items()} for d in levels]
 
 
 def bucketed_hash_encoding(buckets: dict):
@@ -386,7 +393,7 @@ def bucketed_hash_encoding(buckets: dict):
     ``x`` MUST be the (…,3) contracted positions the buckets were built
     from, in the same flattened order."""
     enc = bucketed_hash_encoding_traced(buckets)
-    lv = buckets_as_f32(buckets["levels"])
+    lv = buckets_as_arrays(buckets["levels"])
 
     def apply_fn(params, x, step=None, grad_key=None):
         return enc(params["table"], x, lv)

@@ -339,10 +339,11 @@ def _z_cut_enabled() -> bool:
     fori walk (a bare per-iteration cut was worse still, 75 / 30). The
     tile-wide max reduce in the loop condition serializes chunks that the
     fixed-trip fori pipelines, and it costs more than the skipped depth
-    layers save even on the occlusion-heavy production scene. The
-    z-ordered candidate packing itself is order-only (identical output:
-    ties break by id) and stays, so the cut can be re-evaluated on future
-    toolchains by flipping the env."""
+    layers save even on the occlusion-heavy production scene. The flag
+    enables BOTH the z-ordered candidate packing and the kernel cut, and
+    is resolved at TRACE time in rasterize_ids_pallas (a jit-internal env
+    read would be baked into cached executables — the TSSPLAT_OVERFLOW
+    bug class, ADVICE r3)."""
     import os
     return os.environ.get("TSSPLAT_Z_CUT", "off") == "on"
 
@@ -358,11 +359,14 @@ def _z_sort_levels(ntiles: int, F: int) -> int:
     return lv if lv >= 4 else 0
 
 
-def _face_zmin_q(sz, v_ok, tri, corner, F, zlv):
+def _face_zmin_q(sz, tri, corner, F, zlv):
     """Per-face quantized z-min bucket (int32 in [0, zlv)). MUST be the
     single source of truth for both the sort key (bin_triangles) and the
     table's bucket-lower-bound row (_prepare_candidates) — the early-exit
-    proof needs them consistent."""
+    proof needs them consistent. Faces with invalid (w<=eps) vertices get
+    garbage buckets; they are excluded from the key expansion by ``ok``
+    and depth-rejected in the kernel by the table's valid flag, so their
+    bucket value never matters."""
     if corner:
         zf = sz.reshape(F, 3)
     else:
@@ -386,7 +390,7 @@ def _tile_range(lo, hi, tile_px, ntiles_axis):
 
 def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
                   med_cap: int = 256, pool_cap: int = 64,
-                  row0=0, full_h=None, flat=False):
+                  row0=0, full_h=None, flat=False, z_cut=False):
     """Output-proportional tile binning for one view.
 
     Returns (counts (ntiles,) i32, cand (ntiles,k) i32 triangle indices,
@@ -473,13 +477,13 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
 
     keys = jnp.concatenate([keys0.reshape(-1), keys1.reshape(-1)])
     vals = jnp.concatenate([vals0.reshape(-1), vals1.reshape(-1)])
-    zlv = _z_sort_levels(ntiles, F) if (flat and _z_cut_enabled()) else 0
+    zlv = _z_sort_levels(ntiles, F) if (flat and z_cut) else 0
     if zlv:
         # pack (tile, z-bucket, id): within each tile candidates come out
         # ordered by quantized face z-min, enabling the flat kernel's
         # occlusion early-exit (see _vis_kernel_flat). id stays in the low
         # bits, preserving the ascending-id tie-break within a bucket.
-        zq = _face_zmin_q(sz, v_ok, tri, corner, F, zlv)
+        zq = _face_zmin_q(sz, tri, corner, F, zlv)
         # per-slot z buckets by BROADCAST, not zq[vals] — that 34k-row
         # gather per view measured ~12% of the whole step (row-bound);
         # tier-0 slots are iota-aligned and tier-1 needs only med_cap rows
@@ -545,7 +549,7 @@ def bin_triangles(pos, tri, resolution, tile_h, tile_w, k, corner=False,
 
 def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
                         corner=False, edge_nbrs=None, shared=False,
-                        row0=0, full_h=None, flat=False):
+                        row0=0, full_h=None, flat=False, z_cut=False):
     """One view: bin + candidate screen data.
 
     ``shared=False``: returns (counts (ntiles,) i32, data (ntiles,R,K) f32
@@ -572,7 +576,7 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     if flat:
         counts, starts, vals, pool, n_pool, n_drop = bin_triangles(
             pos, tri, resolution, tile_h, tile_w, k, corner=corner,
-            row0=row0, full_h=full_h, flat=True)
+            row0=row0, full_h=full_h, flat=True, z_cut=z_cut)
         cand = None
     else:
         counts, cand, n_drop = bin_triangles(pos, tri, resolution, tile_h,
@@ -605,18 +609,22 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     # z-ordered candidates) — the kernel's early-exit threshold. Must come
     # from the same quantizer as the sort key (_face_zmin_q).
     nty_, ntx_ = H // tile_h, W // tile_w
-    zlv = _z_sort_levels(nty_ * ntx_, F) if (flat and _z_cut_enabled()) \
-        else 0
+    zlv = _z_sort_levels(nty_ * ntx_, F) if (flat and z_cut) else 0
     if zlv:
-        zlb = _face_zmin_q(sz, v_ok, tri, corner, F, zlv) \
+        zlb = _face_zmin_q(sz, tri, corner, F, zlv) \
             .astype(jnp.float32) * (2.0 / zlv) - 1.0
     else:
         zlb = jnp.zeros_like(ax)
     cols = [ax, ay, bx, by, cx, cy, z0, z1, z2, inv_area,
             ok2.astype(jnp.float32), zlb]
     if edge_nbrs is not None:
+        # R = 15, no trailing pad column: the kernels read channels
+        # 12..14 only, and the dropped zero row is worth 4*(F+1) bytes of
+        # SMEM — exactly what put the 12-sphere GSO-Mario scene (11016
+        # faces) over the flat-path budget and onto the ~8x-slower dense
+        # pre-gather path
         en = edge_nbrs.astype(pos.dtype)
-        cols += [en[:, 0], en[:, 1], en[:, 2], jnp.zeros_like(ax)]
+        cols += [en[:, 0], en[:, 1], en[:, 2]]
     R = len(cols)
     if flat:
         tbl = jnp.stack(cols, axis=0)                    # (R,F)
@@ -660,7 +668,8 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
         pos_clip, tri, resolution=resolution, tile_h=tile_h, tile_w=tile_w,
         k=k, interpret=interpret, with_z=with_z, corner=corner,
         with_g=with_g, row0=row0, full_h=full_h,
-        overflow_warn=overflow_checks_enabled(), with_drops=want_drops)
+        overflow_warn=overflow_checks_enabled(), with_drops=want_drops,
+        z_cut=_z_cut_enabled())
     if want_drops:
         out, n_drop = out[:-1], out[-1]
         drops_out.append(n_drop)
@@ -672,7 +681,8 @@ def rasterize_ids_pallas(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "tile_h", "tile_w", "k",
                                     "interpret", "with_z", "corner",
-                                    "full_h", "overflow_warn", "with_drops"))
+                                    "full_h", "overflow_warn", "with_drops",
+                                    "z_cut"))
 def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                               resolution: Tuple[int, int], tile_h: int = 8,
                               tile_w: int = 128, k: Optional[int] = None,
@@ -681,7 +691,8 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                               with_g=None, row0=None,
                               full_h: Optional[int] = None,
                               overflow_warn: bool = False,
-                              with_drops: bool = False):
+                              with_drops: bool = False,
+                              z_cut: bool = False):
     """Winning (triangle id + 1) per pixel, (B,H,W) int32 — Pallas TPU path.
 
     Same contract and capacity heuristic as rasterize_ids_tiled; set
@@ -708,7 +719,7 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     k = min(_next_pow2(k), _next_pow2(F))
     nty, ntx = H // tile_h, W // tile_w
     ntiles = nty * ntx
-    R = 12 if with_g is None else 16
+    R = 12 if with_g is None else 15
 
     pos_clip = jax.lax.stop_gradient(pos_clip)
     # shared-table mode: the whole (R, F+1) per-triangle table fits SMEM
@@ -761,7 +772,8 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     if flat_mode:
         prep = jax.vmap(lambda p: _prepare_candidates(
             p, tri, resolution, tile_h, tile_w, k, corner=corner,
-            edge_nbrs=with_g, row0=row0, full_h=full_h, flat=True))
+            edge_nbrs=with_g, row0=row0, full_h=full_h, flat=True,
+            z_cut=z_cut))
         counts, starts, npool, tbl, vals, pool, n_drop = prep(pos_clip)
         if overflow_warn:
             emit_overflow_warning(n_drop, "pallas-flat")   # unbatched here
@@ -791,7 +803,7 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
                                    tile_w=tile_w, ntx=ntx, H=fh, W=W,
                                    pool_cap=pool_cap,
                                    emit_g=with_g is not None,
-                                   z_sorted=_z_cut_enabled()
+                                   z_sorted=z_cut
                                    and _z_sort_levels(ntiles, F) > 0)
         results = pl.pallas_call(
             kernel,
@@ -1152,18 +1164,26 @@ def _aa_halo_bwd_kernel(flags_ref, ids_ref, z_ref, g6_ref, gaux_ref, ct_ref,
         dg_ref[0] = d_g
 
 
-def _aa_tile_index_maps(ntx, nt):
-    """(full, gated) block index maps for (B, C, H, W)-blocked arrays:
-    ``gated`` collapses inactive tiles to block (b, 0, 0, 0) so consecutive
-    inactive tiles re-use the fetched block with no DMA."""
-    def full(b, t, flags):
-        return (b, 0, t // ntx, t % ntx)
-
-    def gated(b, t, flags):
+def _aa_tile_specs(ntx, nt, th, tw):
+    """Tile BlockSpecs shared by the halo fwd/bwd kernels. ``full3/full4``
+    visit tile (ty, tx) of a (B,H,W) / (B,C,H,W) array; ``gated3/gated4``
+    collapse INACTIVE tiles to block 0 so consecutive inactive tiles
+    re-use the fetched block with no DMA (flags ride scalar prefetch)."""
+    def gate(b, t, flags):
         act = flags[b * nt + t] != 0
-        return (b, 0, jnp.where(act, t // ntx, 0),
-                jnp.where(act, t % ntx, 0))
-    return full, gated
+        return (jnp.where(act, t // ntx, 0), jnp.where(act, t % ntx, 0))
+
+    def spec(c, index_map):
+        shape = (1, th, tw) if c is None else (1, c, th, tw)
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    return {
+        "full3": spec(None, lambda b, t, f: (b, t // ntx, t % ntx)),
+        "gated3": spec(None, lambda b, t, f: (b,) + gate(b, t, f)),
+        "gated6": spec(6, lambda b, t, f: (b, 0) + gate(b, t, f)),
+        "gated4": spec(4, lambda b, t, f: (b, 0) + gate(b, t, f)),
+        "full6": spec(6, lambda b, t, f: (b, 0, t // ntx, t % ntx)),
+    }
 
 
 def aa_halo_forward(flags, ids, z, g6, gaux, th=8, tw=128,
@@ -1174,23 +1194,17 @@ def aa_halo_forward(flags, ids, z, g6, gaux, th=8, tw=128,
     B, H, W = ids.shape
     nty, ntx = H // th, W // tw
     nt = nty * ntx
-    full, gated = _aa_tile_index_maps(ntx, nt)
-    tile2 = pl.BlockSpec((1, th, tw), lambda b, t, f: (b, t // ntx, t % ntx),
-                         memory_space=pltpu.VMEM)
-    tile2g = pl.BlockSpec(
-        (1, th, tw),
-        lambda b, t, f: (b,) + tuple(gated(b, t, f)[2:]),
-        memory_space=pltpu.VMEM)
+    sp = _aa_tile_specs(ntx, nt, th, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nt),
         in_specs=[
-            tile2,                                        # ids: always
-            tile2g,                                       # z: actives only
-            pl.BlockSpec((1, 6, th, tw), gated, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, th, tw), gated, memory_space=pltpu.VMEM),
+            sp["full3"],                                  # ids: always
+            sp["gated3"],                                 # z: actives only
+            sp["gated6"],                                 # g6
+            sp["gated4"],                                 # gaux
         ],
-        out_specs=tile2,
+        out_specs=sp["full3"],
     )
     kernel = functools.partial(_aa_halo_fwd_kernel, th=th, tw=tw, ntx=ntx,
                                H=H, W=W)
@@ -1208,23 +1222,18 @@ def aa_halo_backward(flags, ids, z, g6, gaux, ct, th=8, tw=128,
     B, H, W = ids.shape
     nty, ntx = H // th, W // tw
     nt = nty * ntx
-    full, gated = _aa_tile_index_maps(ntx, nt)
-    tile2g = pl.BlockSpec(
-        (1, th, tw),
-        lambda b, t, f: (b,) + tuple(gated(b, t, f)[2:]),
-        memory_space=pltpu.VMEM)
+    sp = _aa_tile_specs(ntx, nt, th, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nt),
         in_specs=[
-            tile2g,                                       # ids
-            tile2g,                                       # z
-            pl.BlockSpec((1, 6, th, tw), gated, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, th, tw), gated, memory_space=pltpu.VMEM),
-            tile2g,                                       # ct
+            sp["gated3"],                                 # ids
+            sp["gated3"],                                 # z
+            sp["gated6"],                                 # g6
+            sp["gated4"],                                 # gaux
+            sp["gated3"],                                 # ct
         ],
-        out_specs=pl.BlockSpec((1, 6, th, tw), full,
-                               memory_space=pltpu.VMEM),
+        out_specs=sp["full6"],
     )
     kernel = functools.partial(_aa_halo_bwd_kernel, th=th, tw=tw, ntx=ntx,
                                H=H, W=W)

@@ -1125,10 +1125,16 @@ def _ah_bwd(interpret, res, ct):
 _aa_halo_interior_f.defvjp(_ah_fwd, _ah_bwd)
 
 
+def aa_halo_mode() -> str:
+    """Halo-AA dispatch mode: "auto" (kernels on TPU, dense chain
+    elsewhere), "off" (always the dense chain), or "interpret" (run the
+    halo kernels in interpreter mode on any backend — debugging aid,
+    mirrors TSSPLAT_WSR_KERNEL)."""
+    return os.environ.get("TSSPLAT_AA_HALO", "auto")
+
+
 def aa_halo_enabled() -> bool:
-    """Halo-AA dispatch gate (TSSPLAT_AA_HALO=off forces the dense chain;
-    =interpret runs the kernels in interpreter mode off-TPU for tests)."""
-    return os.environ.get("TSSPLAT_AA_HALO", "auto") != "off"
+    return aa_halo_mode() != "off"
 
 
 def antialias_silhouette_halo(color, rast, g_pair, th: int = 8,

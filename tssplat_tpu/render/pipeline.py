@@ -29,7 +29,8 @@ from ..geometry.tet_geometry import (geometry_forward, compute_vertex_normals,
                                      GeometryStatics)
 from ..ops.rasterize import (rasterize, rasterize_silhouette_with_rows,
                              interpolate, antialias,
-                             antialias_silhouette_halo, aa_halo_enabled)
+                             antialias_silhouette_halo, aa_halo_enabled,
+                             aa_halo_mode)
 from ..ops.transform import transform_pos
 
 
@@ -187,7 +188,8 @@ def render_views(tet_v: jax.Array, geom: GeometryStatics, mvp: jax.Array,
         # cheap strided XLA pass — same math, ~1% of pairs do work
         alpha = antialias_silhouette_halo(
             alpha, rast, g_rows,
-            interpret=jax.default_backend() in ("cpu", "gpu"))
+            interpret=(aa_halo_mode() == "interpret"
+                       or jax.default_backend() in ("cpu", "gpu")))
     else:
         alpha = antialias(alpha, rast, pos_clip, tri_c, geom.edge_nbrs,
                           corner=True, g_precomputed=g_rows)

@@ -616,10 +616,11 @@ def train(cfg):
             # batch_size > n duplicates wraparound views in the dense loss
             # weighting; the exact path sees each view exactly once —
             # silently diverging semantics (ADVICE r4)
-            reason = (f"batch_size={batch_size} x num_forward_per_iter="
-                      f"{num_forward_per_iter} != dataset views "
-                      f"{n_views_total} (exact path evaluates every view "
-                      f"exactly once per step)")
+            reason = (f"the exact path needs ONE forward covering every "
+                      f"dataset view (batch_size == {n_views_total} views, "
+                      f"num_forward_per_iter == 1; got batch_size="
+                      f"{batch_size}, num_forward_per_iter="
+                      f"{num_forward_per_iter})")
         else:
             n_shards = 1
             if mesh is not None:
@@ -767,6 +768,18 @@ def train(cfg):
             state, (loss, img_loss, reg, n_drop) = step_fn(state, batch, it)
             n_steps += 1
             meter.update(1, rays_per_forward)
+
+        # bound host run-ahead: every iteration materializes a fresh batch
+        # (the loader's device permutation gathers — ~375 MB at 120 views
+        # x 512^2), and an unsynced host can enqueue ~100 iterations whose
+        # queued batches pin device memory. On the remote axon backend the
+        # resulting allocator pressure degraded the GSO-Mario 120-view run
+        # 16 -> 0.8 it/s from ~iter 130 on (reproduced twice, ruled out
+        # contention/binning/trip-counts — the executable is fixed);
+        # sync_every=8 caps in-flight batches and the collapse disappears.
+        sync_every = int(cfg.get("sync_every", 8))
+        if sync_every and it % sync_every == 0:
+            float(loss)                   # host transfer == real barrier
 
         if it % log_every == 0:
             print("iter=%4d, img_loss=%.4f, reg_loss=%.4f [%s]"
