@@ -812,18 +812,32 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     vp = viewport if viewport is not None else (None, None)
     if method == "pallas" or (method == "auto" and aligned and big and on_tpu):
+        from jax.ad_checkpoint import checkpoint_name
         from .pallas_raster import rasterize_ids_pallas
         ids, z, g_kernel, g_aux = rasterize_ids_pallas(
             pos_clip, tri, resolution, corner=corner, with_g=edge_nbrs,
             k=k, row0=vp[0], full_h=vp[1], drops_out=drops_out)
+        # name the visibility kernel's outputs as rematerialization save
+        # points: under the view-chunk scan's jax.checkpoint the policy
+        # save_only_these_names('vis_out') keeps these (~96 MB per 8-view
+        # chunk) instead of re-running binning + the Pallas kernel in
+        # every chunk's backward (~4.5 ms of a ~20 ms chunk at production
+        # scale); everything else still rematerializes, so chunk memory
+        # stays bounded
+        ids = checkpoint_name(ids, "vis_out")
+        z = checkpoint_name(z, "vis_out")
+        g_kernel = checkpoint_name(g_kernel, "vis_out")
+        g_aux = checkpoint_name(g_aux, "vis_out")
         zero = jnp.zeros_like(z)
         rast = jnp.stack([zero, zero, z, ids.astype(z.dtype)], axis=-1)
         g6 = winner_screen_rows(pos_clip, tri, ids, edge_nbrs, g_kernel,
                                 corner)
         return rast, (g6, g_aux)
-    return rasterize_silhouette(pos_clip, tri, resolution, method=method,
+    rast = rasterize_silhouette(pos_clip, tri, resolution, method=method,
                                 corner=corner, k=k, viewport=viewport,
-                                drops_out=drops_out), None
+                                drops_out=drops_out)
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(rast, "vis_out"), None
 
 
 def interpolate(attr: jnp.ndarray, rast: jnp.ndarray, tri: jnp.ndarray,

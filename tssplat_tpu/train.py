@@ -24,6 +24,7 @@ TPU-native differences (deliberate):
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 from typing import NamedTuple, Optional
@@ -283,7 +284,16 @@ def make_train_step(statics, update_fn, *, fitting_stage: str,
                 chunked = {k: reshape(batch[k])
                            for k in _VIEW_KEYS if k in batch}
 
-            @jax.checkpoint
+            # rematerialize each chunk EXCEPT the visibility kernel's
+            # outputs (tagged 'vis_out' in rasterize_silhouette_with_rows)
+            # — recomputing binning + the Pallas walk in every chunk's
+            # backward was ~25% of the chunked step; saving those four
+            # arrays costs ~96 MB per 8-view chunk against the ~2.5 GB
+            # full-activation blowup the checkpoint exists to avoid
+            @functools.partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "vis_out"))
             def one_chunk(carry, cb):
                 il, _, nd = _img_loss(tet_v, mat_params, cb, it,
                                       with_energy=False)
