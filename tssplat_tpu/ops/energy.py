@@ -36,9 +36,20 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# flat-(T,9) hot path (see _energy_parts9) — the production default:
+# measured 9.8 -> 6.0 ms standalone fwd+bwd at 59k tets, 50.3 -> 62.8
+# it/s on the full 8-sphere step (the (T,3,3) trailing-dim layout was
+# flip-flopping between gather and elementwise layouts, ~2 ms of copies).
+# TSSPLAT_ENERGY_FLAT9=off reverts to the (T,3,3) formulation
+# (import-time read — trace-time env reads inside jit are the
+# TSSPLAT_OVERFLOW bug class).
+_FLAT9 = os.environ.get("TSSPLAT_ENERGY_FLAT9", "on") != "off"
 
 
 class EnergyOps(NamedTuple):
@@ -188,6 +199,107 @@ def _cof3(F: jax.Array) -> jax.Array:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Flat-(T,9) formulation of the hot path (TSSPLAT_ENERGY_FLAT9 A/B gate)
+# ---------------------------------------------------------------------------
+#
+# The (T,3,3) arrays carry a trailing (3,3) that XLA lays out with only 3
+# of 128 lanes used; at 59k tets the step trace showed ~2 ms of layout
+# copies flip-flopping between the gather-preferred and elementwise-
+# preferred layouts of these arrays (plus 8 x 0.4 ms neighbor gathers).
+# This variant keeps every per-tet field as a flat (T,9) matrix (row-major
+# entries) built by stacking (T,) columns — identical math, same gather
+# row count, different layout pressure. Selected at import time by
+# TSSPLAT_ENERGY_FLAT9 (trace-time env reads inside jit are the
+# TSSPLAT_OVERFLOW bug class).
+
+def _deformation_gradients9(x, tets, dX_inv):
+    """Flat (T,9) deformation gradients; entry 3*i+j == F[i,j]."""
+    v = x[tets]                                           # (T,4,3)
+    e = (v[:, 1] - v[:, 0], v[:, 2] - v[:, 0], v[:, 3] - v[:, 0])
+    cols = []
+    for i in range(3):
+        for j in range(3):
+            cols.append(e[0][:, i] * dX_inv[:, 0, j]
+                        + e[1][:, i] * dX_inv[:, 1, j]
+                        + e[2][:, i] * dX_inv[:, 2, j])
+    return jnp.stack(cols, axis=-1)
+
+
+def _det9(F9):
+    f = [F9[:, c] for c in range(9)]
+    return (f[0] * (f[4] * f[8] - f[5] * f[7])
+            - f[1] * (f[3] * f[8] - f[5] * f[6])
+            + f[2] * (f[3] * f[7] - f[4] * f[6]))
+
+
+def _cof9(F9):
+    """Flat cofactor matrix: entry 3*i+j == d det / d F[i,j]."""
+    f = [F9[:, c] for c in range(9)]
+    cols = [f[4] * f[8] - f[5] * f[7],
+            f[5] * f[6] - f[3] * f[8],
+            f[3] * f[7] - f[4] * f[6],
+            f[2] * f[7] - f[1] * f[8],
+            f[0] * f[8] - f[2] * f[6],
+            f[1] * f[6] - f[0] * f[7],
+            f[1] * f[5] - f[2] * f[4],
+            f[2] * f[3] - f[0] * f[5],
+            f[0] * f[4] - f[1] * f[3]]
+    return jnp.stack(cols, axis=-1)
+
+
+def _unweighted_lap9(F9, nbrs, nbr_mask, degree):
+    out = degree[:, None] * F9
+    for k in range(4):
+        out = out - nbr_mask[:, k, None] * F9[nbrs[:, k]]
+    return out
+
+
+def _energy_parts9(x, order, tets, dX_inv, nbrs, nbr_mask, degree, row_w):
+    F9 = _deformation_gradients9(x, tets, dX_inv)
+    UF9 = _unweighted_lap9(F9, nbrs, nbr_mask, degree)
+    WUF = row_w[:, None] * UF9 if row_w is not None else UF9
+    e_smooth = 0.5 * jnp.sum(WUF * WUF)
+    J = _det9(F9)
+    neg = jnp.maximum(-J, 0.0)
+    p2 = neg * neg
+    e_barrier = jnp.sum(jnp.where(order == 4, p2 * p2, p2))
+    return F9, UF9, e_smooth, e_barrier
+
+
+def _sb_bwd_core9(g, res):
+    (x, F9, UF9, es, eb, c1, c2, order, tets, dX_inv, nbrs, nbr_mask,
+     degree, row_w, inc_idx) = res
+    w2UF = (row_w[:, None] ** 2) * UF9 if row_w is not None else UF9
+    dF9 = c1 * _unweighted_lap9(w2UF, nbrs, nbr_mask, degree)
+
+    J = _det9(F9)
+    neg = jnp.maximum(-J, 0.0)
+    coeff = jnp.where(order == 4, 4.0 * neg * neg * neg, 2.0 * neg)
+    dF9 = dF9 - (c2 * coeff)[:, None] * _cof9(F9)
+
+    # P[i,k] = sum_j dF[i,j] * dX_inv[k,j]; corner contributions as 12
+    # stacked (T,) columns ordered (corner, xyz) so the (T,12) -> (4T,3)
+    # reshape is the flat per-(tet,corner) row table
+    P = [[dF9[:, 3 * i + 0] * dX_inv[:, k, 0]
+          + dF9[:, 3 * i + 1] * dX_inv[:, k, 1]
+          + dF9[:, 3 * i + 2] * dX_inv[:, k, 2]
+          for k in range(3)] for i in range(3)]
+    cols = [-(P[i][0] + P[i][1] + P[i][2]) for i in range(3)]
+    for k in range(3):
+        cols += [P[i][k] for i in range(3)]
+    T = F9.shape[0]
+    flat = jnp.stack(cols, axis=-1).reshape(4 * T, 3)
+    flat = jnp.concatenate([flat, jnp.zeros((1, 3), flat.dtype)], axis=0)
+    n, D = inc_idx.shape
+    gx = flat[inc_idx[:, 0]]
+    for k in range(1, D):
+        gx = gx + flat[inc_idx[:, k]]
+    return g * gx
+
+
 def _energy_parts(x, order, tets, dX_inv, nbrs, nbr_mask, degree, row_w):
     F = deformation_gradients(x, tets, dX_inv)
     UF = _unweighted_lap(F, nbrs, nbr_mask, degree)
@@ -203,15 +315,17 @@ def _energy_parts(x, order, tets, dX_inv, nbrs, nbr_mask, degree, row_w):
 @jax.custom_vjp
 def _sb_energy(x, c1, c2, order, tets, dX_inv, nbrs, nbr_mask, degree,
                row_w, inc_idx):
-    _, _, es, eb = _energy_parts(x, order, tets, dX_inv, nbrs, nbr_mask,
-                                 degree, row_w)
+    parts = _energy_parts9 if _FLAT9 else _energy_parts
+    _, _, es, eb = parts(x, order, tets, dX_inv, nbrs, nbr_mask,
+                         degree, row_w)
     return c1 * es + c2 * eb
 
 
 def _sb_fwd(x, c1, c2, order, tets, dX_inv, nbrs, nbr_mask, degree, row_w,
             inc_idx):
-    F, UF, es, eb = _energy_parts(x, order, tets, dX_inv, nbrs, nbr_mask,
-                                  degree, row_w)
+    parts = _energy_parts9 if _FLAT9 else _energy_parts
+    F, UF, es, eb = parts(x, order, tets, dX_inv, nbrs, nbr_mask,
+                          degree, row_w)
     res = (x, F, UF, es, eb, c1, c2, order, tets, dX_inv, nbrs, nbr_mask,
            degree, row_w, inc_idx)
     return c1 * es + c2 * eb, res
@@ -234,6 +348,17 @@ def _sb_bwd(res, g):
     """
     (x, F, UF, es, eb, c1, c2, order, tets, dX_inv, nbrs, nbr_mask,
      degree, row_w, inc_idx) = res
+
+    def f0(a):
+        return np.zeros(np.shape(a), jax.dtypes.float0)
+
+    if _FLAT9:
+        gx = _sb_bwd_core9(g, res)
+        return (gx, g * es, g * eb, f0(order), f0(tets),
+                jnp.zeros_like(dX_inv), f0(nbrs), jnp.zeros_like(nbr_mask),
+                jnp.zeros_like(degree),
+                None if row_w is None else jnp.zeros_like(row_w),
+                f0(inc_idx))
     w2UF = (row_w[:, None, None] ** 2) * UF if row_w is not None else UF
     dF = c1 * _unweighted_lap(w2UF, nbrs, nbr_mask, degree)
 
