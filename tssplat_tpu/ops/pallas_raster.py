@@ -875,7 +875,7 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
 # AA-backward table gradient: per-tile distinct-winner reduction
 # ---------------------------------------------------------------------------
 
-def _wsr_grad_kernel(ids_ref, ct_ref, out_ref, *, ca):
+def _wsr_grad_kernel(flags_ref, ids_ref, ct_ref, out_ref, *, ca):
     """Accumulate per-pixel AA cotangents into the per-face table rows.
 
     One (tile_h, tile_w) tile per grid step: extract the tile's DISTINCT
@@ -885,46 +885,56 @@ def _wsr_grad_kernel(ids_ref, ct_ref, out_ref, *, ca):
     (F1, 128) VMEM table at the face's row. Replaces the XLA two-stage
     compaction + sort + lax.cond + segment-sum pipeline (and its static
     caps/dense-fallback hazard) with one exact pass over ids + ct.
+
+    ``flags_ref`` (scalar prefetch, (B*ntiles,) i32) marks tiles with any
+    nonzero cotangent — inactive tiles skip the body AND collapse their
+    ids/ct block fetches to tile 0 (the index-map gate), the same
+    active-tile pattern as the AA halo kernels.
     """
+    b = pl.program_id(0)
     t = pl.program_id(1)
+    nt = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    ids = ids_ref[0]                                     # (th,tw) i32
-    active = ids > 0
-    any_ct = ct_ref[0, 0] != 0.0
-    for ch in range(1, ca):
-        any_ct = any_ct | (ct_ref[0, ch] != 0.0)
-    active = active & any_ct
+    @pl.when(flags_ref[b * nt + t] != 0)
+    def _active_tile():
+        ids = ids_ref[0]                                 # (th,tw) i32
+        active = ids > 0
+        any_ct = ct_ref[0, 0] != 0.0
+        for ch in range(1, ca):
+            any_ct = any_ct | (ct_ref[0, ch] != 0.0)
+        active = active & any_ct
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-    # the loop-carried mask is i32, not bool: Mosaic rejects loop-carried
-    # i1 vectors ("failed to legalize scf.yield" on vector<8x128xi1>)
-    def cond(carry):
-        act, _ = carry
-        return jnp.max(act) > 0
+        # the loop-carried mask is i32, not bool: Mosaic rejects
+        # loop-carried i1 vectors ("failed to legalize scf.yield")
+        def cond(carry):
+            act, _ = carry
+            return jnp.max(act) > 0
 
-    def body(carry):
-        act, n = carry
-        cur = jnp.max(jnp.where(act > 0, ids, 0))        # scalar id (>0)
-        m = (act > 0) & (ids == cur)
-        mf = m.astype(jnp.float32)
-        # 16 faces pack into each 128-lane row (8 lanes per face slot) —
-        # the VMEM face table is F/16 rows instead of F (a dense (F,128)
-        # row-per-face table at 50k+ faces would blow VMEM)
-        slot = ((cur - 1) % 16) * 8
-        row = jnp.zeros((1, 128), jnp.float32)
-        for ch in range(ca):
-            s = jnp.sum(ct_ref[0, ch] * mf)
-            row = row + jnp.where(lane == slot + ch, s, 0.0)
-        out_ref[0, pl.ds((cur - 1) // 16, 1), :] += row
-        return jnp.where(ids == cur, 0, act), n + 1
+        def body(carry):
+            act, n = carry
+            cur = jnp.max(jnp.where(act > 0, ids, 0))    # scalar id (>0)
+            m = (act > 0) & (ids == cur)
+            mf = m.astype(jnp.float32)
+            # 16 faces pack into each 128-lane row (8 lanes per face
+            # slot) — the VMEM face table is F/16 rows instead of F (a
+            # dense (F,128) row-per-face table at 50k+ faces would blow
+            # VMEM)
+            slot = ((cur - 1) % 16) * 8
+            row = jnp.zeros((1, 128), jnp.float32)
+            for ch in range(ca):
+                s = jnp.sum(ct_ref[0, ch] * mf)
+                row = row + jnp.where(lane == slot + ch, s, 0.0)
+            out_ref[0, pl.ds((cur - 1) // 16, 1), :] += row
+            return jnp.where(ids == cur, 0, act), n + 1
 
-    jax.lax.while_loop(cond, body,
-                       (active.astype(jnp.int32), jnp.int32(0)))
+        jax.lax.while_loop(cond, body,
+                           (active.astype(jnp.int32), jnp.int32(0)))
 
 
 def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
@@ -950,26 +960,40 @@ def wsr_table_grad_pallas(ids: jnp.ndarray, ct6: jnp.ndarray, F: int,
                 f"pass an explicit tile_h dividing H")
     assert CA <= 8 and H % tile_h == 0 and W % tile_w == 0
     nty, ntx = H // tile_h, W // tile_w
+    nt = nty * ntx
     # 16 faces per 128-lane row; row count sublane-aligned
     R = (((F + 1 + 15) // 16 + 7) // 8) * 8
-    grid = (B, nty * ntx)
+
+    # per-tile activity flags: AA cotangents live only on silhouette
+    # tiles, so inactive tiles (the vast majority) skip the extraction
+    # loop AND their block DMA entirely (gated index maps below)
+    flags = jnp.any(ct6 != 0.0, axis=1) \
+        .reshape(B, nty, tile_h, ntx, tile_w).any(axis=(2, 4)) \
+        .reshape(B * nt).astype(jnp.int32)
+
+    def gate(b, t, f):
+        act = f[b * nt + t] != 0
+        return (jnp.where(act, t // ntx, 0), jnp.where(act, t % ntx, 0))
 
     out = pl.pallas_call(
         functools.partial(_wsr_grad_kernel, ca=CA),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile_h, tile_w),
-                         lambda b, t: (b, t // ntx, t % ntx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CA, tile_h, tile_w),
-                         lambda b, t: (b, 0, t // ntx, t % ntx),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, R, 128), lambda b, t: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nt),
+            in_specs=[
+                pl.BlockSpec((1, tile_h, tile_w),
+                             lambda b, t, f: (b,) + gate(b, t, f),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CA, tile_h, tile_w),
+                             lambda b, t, f: (b, 0) + gate(b, t, f),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, R, 128), lambda b, t, f: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((B, R, 128), jnp.float32),
         interpret=interpret,
-    )(ids, ct6)
+    )(flags, ids, ct6)
     # unpack: (B,R,128) -> (B,R,16,8) face slots -> (B,R*16,8)
     return out.reshape(B, R, 16, 8).reshape(B, R * 16, 8)[:, :F + 1, :CA]
 
