@@ -88,13 +88,12 @@ def _vis_kernel(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
         z1 = rd(7)
         z2 = rd(8)
         inv_area = rd(9)
-        valid = rd(10)
 
         e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
         e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
         e2 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * inv_area
         z = e0 * z0 + e1 * z1 + e2 * z2
-        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (valid > 0) \
+        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (inv_area != 0.0) \
             & (z >= -1.0) & (z <= 1.0)
         zc = jnp.where(cov, z, _INF)
         # tie-break on exact z by smaller triangle id: candidate lists from
@@ -153,16 +152,15 @@ def _vis_kernel_g(counts_ref, row0_ref, data_ref, ids_ref, out_ref, zout_ref,
         z1 = rd(7)
         z2 = rd(8)
         inv_area = rd(9)
-        valid = rd(10)
-        n0 = rd(12)
-        n1 = rd(13)
-        n2 = rd(14)
+        n0 = rd(11)
+        n1 = rd(12)
+        n2 = rd(13)
 
         e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
         e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
         e2 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * inv_area
         z = e0 * z0 + e1 * z1 + e2 * z2
-        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (valid > 0) \
+        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (inv_area != 0.0) \
             & (z >= -1.0) & (z <= 1.0)
         zc = jnp.where(cov, z, _INF)
         # same smaller-id tie-break as _vis_kernel (see note there)
@@ -260,13 +258,12 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
         z1 = rd(7)
         z2 = rd(8)
         inv_area = rd(9)
-        valid = rd(10)
 
         e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
         e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
         e2 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * inv_area
         z = e0 * z0 + e1 * z1 + e2 * z2
-        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (valid > 0) \
+        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (inv_area != 0.0) \
             & (z >= -1.0) & (z <= 1.0)
         zc = jnp.where(cov, z, _INF)
         # same smaller-id tie-break as _vis_kernel (see note there)
@@ -277,7 +274,7 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
         if emit_g:
             sgn = jnp.sign(inv_area)
             new_vals = (ax, rd(2), rd(4), ay, rd(3), rd(5),
-                        rd(12), rd(13), rd(14), sgn)
+                        rd(11), rd(12), rd(13), sgn)
             chans = tuple(jnp.where(take, v, c)
                           for v, c in zip(new_vals, carry[2]))
             out = out + (chans,)
@@ -298,7 +295,7 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
 
         def cond(carry):
             i, best_z = carry[0], carry[1]
-            zlb = data_ref[0, 11, read_tid(i)]   # bucket lower bound
+            zlb = data_ref[0, 10, read_tid(i)]   # bucket lower bound
             cut = (i >= npool) & (zlb > jnp.max(best_z))
             return (i < count) & ~cut
 
@@ -615,8 +612,11 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
             .astype(jnp.float32) * (2.0 / zlv) - 1.0
     else:
         zlb = jnp.zeros_like(ax)
-    cols = [ax, ay, bx, by, cx, cy, z0, z1, z2, inv_area,
-            ok2.astype(jnp.float32), zlb]
+    # no separate validity column: invalid faces have inv_area == 0
+    # exactly (the where() above), which the kernels' coverage test uses —
+    # one fewer SMEM scalar read per candidate per tile, and 4(F+1) bytes
+    # of flat-path budget
+    cols = [ax, ay, bx, by, cx, cy, z0, z1, z2, inv_area, zlb]
     if edge_nbrs is not None:
         # R = 15, no trailing pad column: the kernels read channels
         # 12..14 only, and the dropped zero row is worth 4*(F+1) bytes of
@@ -719,7 +719,7 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     k = min(_next_pow2(k), _next_pow2(F))
     nty, ntx = H // tile_h, W // tile_w
     ntiles = nty * ntx
-    R = 12 if with_g is None else 15
+    R = 11 if with_g is None else 14
 
     pos_clip = jax.lax.stop_gradient(pos_clip)
     # shared-table mode: the whole (R, F+1) per-triangle table fits SMEM
