@@ -285,7 +285,24 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
             jnp.zeros((tile_h, tile_w), jnp.int32))
     if emit_g:
         init = init + (tuple(zero for _ in range(10)),)
-    if z_sorted:
+    if not z_sorted:
+        # 2x-unrolled walk: candidate i+1's SMEM row loads + edge math
+        # are independent of candidate i (only the best_z/best_id compare
+        # chain serializes), so pairing them per iteration lets Mosaic
+        # overlap load latency with compute
+        # UN=4 measured best: 2x -> 66.8, 4x -> 68.6, 8x -> 64.3 it/s on
+        # the 8-sphere scene (8x pays tail waste + register pressure)
+        UN = 4
+        trips = (count + UN - 1) // UN
+
+        def bodyu(j, carry):
+            c = carry
+            for u in range(UN):
+                c = body_at(UN * j + u, c, live=(UN * j + u) < count)
+            return c
+
+        res = jax.lax.fori_loop(0, trips, bodyu, init)
+    elif z_sorted:
         # chunked occlusion cut: a bare while-loop serializes every
         # iteration behind its cond's tile-wide max reduce (measured 113 ->
         # 75 it/s on the toy scene); a fori_loop of CK iterations inside
@@ -309,8 +326,6 @@ def _vis_kernel_flat(counts_ref, starts_ref, npool_ref, row0_ref,
             return (i0 + CK,) + jax.lax.fori_loop(0, CK, inner, carry[1:])
 
         res = jax.lax.while_loop(cond, wbody, (jnp.int32(0),) + init)[1:]
-    else:
-        res = jax.lax.fori_loop(0, count, body_at, init)
     best_z, best_id = res[0], res[1]
     fg = best_id > 0
     out_refs[0][0] = best_id
