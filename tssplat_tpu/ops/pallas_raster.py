@@ -931,9 +931,9 @@ def _wsr_grad_kernel(flags_ref, ids_ref, ct_ref, out_ref, *, ca):
             act, _ = carry
             return jnp.max(act) > 0
 
-        def body(carry):
-            act, n = carry
-            cur = jnp.max(jnp.where(act > 0, ids, 0))    # scalar id (>0)
+        big = jnp.int32(1 << 28)
+
+        def accum(cur, act):
             m = (act > 0) & (ids == cur)
             mf = m.astype(jnp.float32)
             # 16 faces pack into each 128-lane row (8 lanes per face
@@ -946,7 +946,20 @@ def _wsr_grad_kernel(flags_ref, ids_ref, ct_ref, out_ref, *, ca):
                 s = jnp.sum(ct_ref[0, ch] * mf)
                 row = row + jnp.where(lane == slot + ch, s, 0.0)
             out_ref[0, pl.ds((cur - 1) // 16, 1), :] += row
-            return jnp.where(ids == cur, 0, act), n + 1
+            return jnp.where(ids == cur, 0, act)
+
+        def body(carry):
+            act, n = carry
+            # extract TWO distinct ids per trip (the tile max and min of
+            # the remaining actives) — halves the serial trips whenever
+            # more than one distinct silhouette face remains
+            cur_hi = jnp.max(jnp.where(act > 0, ids, 0))
+            cur_lo = jnp.min(jnp.where(act > 0, ids, big))
+            act = accum(cur_hi, act)
+            act = jax.lax.cond(cur_lo < cur_hi,
+                               lambda a: accum(cur_lo, a),
+                               lambda a: a, act)
+            return act, n + 1
 
         jax.lax.while_loop(cond, body,
                            (active.astype(jnp.int32), jnp.int32(0)))
