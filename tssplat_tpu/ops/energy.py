@@ -216,9 +216,14 @@ def _cof3(F: jax.Array) -> jax.Array:
 # TSSPLAT_OVERFLOW bug class).
 
 def _deformation_gradients9(x, tets, dX_inv):
-    """Flat (T,9) deformation gradients; entry 3*i+j == F[i,j]."""
-    v = x[tets]                                           # (T,4,3)
-    e = (v[:, 1] - v[:, 0], v[:, 2] - v[:, 0], v[:, 3] - v[:, 0])
+    """Flat (T,9) deformation gradients; entry 3*i+j == F[i,j].
+
+    Per-corner (T,3) row gathers instead of one (T,4,3) gather: the
+    4-wide middle axis forced a 0.16 ms relayout copy before the edge
+    subtractions (the same small-middle-axis trap as the Laplacian's
+    (T,4,3,3) gather); per-corner gathers fuse into the subtract."""
+    v0 = x[tets[:, 0]]
+    e = (x[tets[:, 1]] - v0, x[tets[:, 2]] - v0, x[tets[:, 3]] - v0)
     cols = []
     for i in range(3):
         for j in range(3):
@@ -292,11 +297,15 @@ def _sb_bwd_core9(g, res):
         cols += [P[i][k] for i in range(3)]
     T = F9.shape[0]
     flat = jnp.stack(cols, axis=-1).reshape(4 * T, 3)
-    flat = jnp.concatenate([flat, jnp.zeros((1, 3), flat.dtype)], axis=0)
+    # no dummy-row pad (the concat re-materialized the 2.8 MB table,
+    # 0.37 ms): padding slots (inc_idx == 4T) clamp to a real row and
+    # zero via the fused comparison mask instead
     n, D = inc_idx.shape
-    gx = flat[inc_idx[:, 0]]
+    idx = jnp.minimum(inc_idx, 4 * T - 1)
+    live = (inc_idx < 4 * T).astype(flat.dtype)
+    gx = flat[idx[:, 0]] * live[:, 0, None]
     for k in range(1, D):
-        gx = gx + flat[inc_idx[:, k]]
+        gx = gx + flat[idx[:, k]] * live[:, k, None]
     return g * gx
 
 
