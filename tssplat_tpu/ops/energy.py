@@ -66,6 +66,15 @@ class EnergyOps(NamedTuple):
     # into the flattened (4T+1,·) per-(tet,corner) table; 4T = zero pad
     # row. Lets the energy backward gather vertex gradients instead of
     # scatter-adding them (TPU scatters serialize)
+    # segmented-scan fold (preferred when present): contributions
+    # permuted to vertex-sorted order, summed per segment by a
+    # Hillis-Steele segmented scan, segment totals gathered at the last
+    # slot — 4T + n gather rows instead of n*D (the D-unrolled fold paid
+    # ~0.14 ms per slot at D=36)
+    fold_src: Optional[jax.Array] = None   # (4T,) i32 — sort permutation
+    fold_sv: Optional[jax.Array] = None    # (4T,) i32 — sorted vertex ids
+    fold_last: Optional[jax.Array] = None  # (n,) i32 — segment end slot
+    fold_rounds: int = 0                   # ceil(log2(max degree))
 
 
 def build_energy_ops(tetmesh, dtype=jnp.float32,
@@ -121,6 +130,11 @@ def build_energy_ops(tetmesh, dtype=jnp.float32,
     inc_idx = np.full((n, D), 4 * T, np.int32)
     inc_idx[sorted_v, rank] = order_srt
 
+    rounds = 0
+    while (1 << rounds) < D:
+        rounds += 1
+    seg_last = (starts + counts - 1).astype(np.int32)    # counts >= 1
+
     return EnergyOps(
         tets=jnp.asarray(tetmesh.elem, dtype=jnp.int32),
         dX_inv=jnp.asarray(dX_inv, dtype=dtype),
@@ -130,6 +144,10 @@ def build_energy_ops(tetmesh, dtype=jnp.float32,
         num_vertices=n,
         row_w=row_w,
         inc_idx=jnp.asarray(inc_idx),
+        fold_src=jnp.asarray(order_srt, dtype=jnp.int32),
+        fold_sv=jnp.asarray(sorted_v, dtype=jnp.int32),
+        fold_last=jnp.asarray(seg_last),
+        fold_rounds=rounds,
     )
 
 
@@ -276,7 +294,7 @@ def _energy_parts9(x, order, tets, dX_inv, nbrs, nbr_mask, degree, row_w):
 
 def _sb_bwd_core9(g, res):
     (x, F9, UF9, es, eb, c1, c2, order, tets, dX_inv, nbrs, nbr_mask,
-     degree, row_w, inc_idx) = res
+     degree, row_w, inc_idx, fold_src, fold_sv, fold_last) = res
     w2UF = (row_w[:, None] ** 2) * UF9 if row_w is not None else UF9
     dF9 = c1 * _unweighted_lap9(w2UF, nbrs, nbr_mask, degree)
 
@@ -297,15 +315,23 @@ def _sb_bwd_core9(g, res):
         cols += [P[i][k] for i in range(3)]
     T = F9.shape[0]
     flat = jnp.stack(cols, axis=-1).reshape(4 * T, 3)
-    # no dummy-row pad (the concat re-materialized the 2.8 MB table,
-    # 0.37 ms): padding slots (inc_idx == 4T) clamp to a real row and
-    # zero via the fused comparison mask instead
+    # segmented-scan fold: permute contributions to vertex-sorted order
+    # (ONE 4T-row gather), run a Hillis-Steele segmented inclusive scan
+    # (ceil(log2(D)) masked shift-adds — contiguous runs make the
+    # one-step same-vertex guard sufficient), and gather each segment's
+    # last slot (n rows). 4T + n gather rows replace the inc-table's
+    # n*D = 397k at production scale; exact (plain f32 reassociation,
+    # no long-range prefix cancellation).
     n, D = inc_idx.shape
-    idx = jnp.minimum(inc_idx, 4 * T - 1)
-    live = (inc_idx < 4 * T).astype(flat.dtype)
-    gx = flat[idx[:, 0]] * live[:, 0, None]
-    for k in range(1, D):
-        gx = gx + flat[idx[:, k]] * live[:, k, None]
+    rounds = 0
+    while (1 << rounds) < D:
+        rounds += 1
+    c = flat[fold_src]                                    # (4T,3)
+    for r in range(rounds):
+        s = 1 << r
+        same = (fold_sv[s:] == fold_sv[:-s]).astype(c.dtype)[:, None]
+        c = jnp.concatenate([c[:s], c[s:] + c[:-s] * same], axis=0)
+    gx = c[fold_last]                                     # (n,3)
     return g * gx
 
 
@@ -323,7 +349,7 @@ def _energy_parts(x, order, tets, dX_inv, nbrs, nbr_mask, degree, row_w):
 
 @jax.custom_vjp
 def _sb_energy(x, c1, c2, order, tets, dX_inv, nbrs, nbr_mask, degree,
-               row_w, inc_idx):
+               row_w, inc_idx, fold_src, fold_sv, fold_last):
     parts = _energy_parts9 if _FLAT9 else _energy_parts
     _, _, es, eb = parts(x, order, tets, dX_inv, nbrs, nbr_mask,
                          degree, row_w)
@@ -331,12 +357,12 @@ def _sb_energy(x, c1, c2, order, tets, dX_inv, nbrs, nbr_mask, degree,
 
 
 def _sb_fwd(x, c1, c2, order, tets, dX_inv, nbrs, nbr_mask, degree, row_w,
-            inc_idx):
+            inc_idx, fold_src, fold_sv, fold_last):
     parts = _energy_parts9 if _FLAT9 else _energy_parts
     F, UF, es, eb = parts(x, order, tets, dX_inv, nbrs, nbr_mask,
                           degree, row_w)
     res = (x, F, UF, es, eb, c1, c2, order, tets, dX_inv, nbrs, nbr_mask,
-           degree, row_w, inc_idx)
+           degree, row_w, inc_idx, fold_src, fold_sv, fold_last)
     return c1 * es + c2 * eb, res
 
 
@@ -356,7 +382,7 @@ def _sb_bwd(res, g):
     they are rest-state constants, not optimization variables.
     """
     (x, F, UF, es, eb, c1, c2, order, tets, dX_inv, nbrs, nbr_mask,
-     degree, row_w, inc_idx) = res
+     degree, row_w, inc_idx, fold_src, fold_sv, fold_last) = res
 
     def f0(a):
         return np.zeros(np.shape(a), jax.dtypes.float0)
@@ -367,7 +393,7 @@ def _sb_bwd(res, g):
                 jnp.zeros_like(dX_inv), f0(nbrs), jnp.zeros_like(nbr_mask),
                 jnp.zeros_like(degree),
                 None if row_w is None else jnp.zeros_like(row_w),
-                f0(inc_idx))
+                f0(inc_idx), f0(fold_src), f0(fold_sv), f0(fold_last))
     w2UF = (row_w[:, None, None] ** 2) * UF if row_w is not None else UF
     dF = c1 * _unweighted_lap(w2UF, nbrs, nbr_mask, degree)
 
@@ -401,7 +427,8 @@ def _sb_bwd(res, g):
     return (g * gx, g * es, g * eb, f0(order), f0(tets),
             jnp.zeros_like(dX_inv), f0(nbrs), jnp.zeros_like(nbr_mask),
             jnp.zeros_like(degree),
-            None if row_w is None else jnp.zeros_like(row_w), f0(inc_idx))
+            None if row_w is None else jnp.zeros_like(row_w),
+            f0(inc_idx), f0(fold_src), f0(fold_sv), f0(fold_last))
 
 
 _sb_energy.defvjp(_sb_fwd, _sb_bwd)
@@ -422,12 +449,20 @@ def smooth_barrier_energy(x: jax.Array, ops: EnergyOps, c1: jax.Array,
     Forward-mode AD is unsupported through the custom path (use
     smooth_barrier_energy_ref or jacrev composition).
     """
-    if ops.inc_idx is None:
+    if ops.inc_idx is None or (_FLAT9 and ops.fold_src is None):
         return smooth_barrier_energy_ref(x, ops, c1, c2, order)
     dt = x.dtype
+    T4 = 4 * ops.tets.shape[0]
+    fold_src = ops.fold_src if ops.fold_src is not None \
+        else jnp.zeros((T4,), jnp.int32)
+    fold_sv = ops.fold_sv if ops.fold_sv is not None \
+        else jnp.zeros((T4,), jnp.int32)
+    fold_last = ops.fold_last if ops.fold_last is not None \
+        else jnp.zeros((ops.num_vertices,), jnp.int32)
     return _sb_energy(x, jnp.asarray(c1, dt), jnp.asarray(c2, dt), order,
                       ops.tets, ops.dX_inv, ops.nbrs, ops.nbr_mask,
-                      ops.degree, ops.row_w, ops.inc_idx)
+                      ops.degree, ops.row_w, ops.inc_idx,
+                      fold_src, fold_sv, fold_last)
 
 
 def smooth_barrier_energy_ref(x: jax.Array, ops: EnergyOps, c1, c2,
