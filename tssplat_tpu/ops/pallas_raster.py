@@ -752,6 +752,16 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     L = 4 * F + 32 * med_cap
     flat_bytes = ((F + 1) * R + L + pool_cap) * 4
     flat_mode = shared_tbl and flat_bytes <= _SMEM_TBL_BUDGET
+    if not flat_mode:
+        # trace-time (once per compile): the dense pre-gather fallback is
+        # ~5x slower at production scale (the Mario scene sat 34 KB over
+        # the ceiling and silently ran at 0.43 instead of 2.5 it/s) —
+        # never let that happen quietly again
+        print(f"WARNING: visibility scene ({F} faces) exceeds the "
+              f"flat-binning SMEM budget ({flat_bytes // 1024} KB > "
+              f"{_SMEM_TBL_BUDGET // 1024} KB) — falling back to the "
+              f"~5x-slower dense pre-gather path. Reduce faces or raise "
+              f"_SMEM_TBL_BUDGET if the chip allows.", flush=True)
     # double-buffer the per-view windows when BOTH copies fit (small
     # scenes): the fetch then overlaps the previous view's compute;
     # single-buffer only when the second copy would blow the 1 MB SMEM
