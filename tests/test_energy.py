@@ -318,3 +318,31 @@ def test_custom_vjp_matches_autodiff(weighting, order, rng):
                                np.asarray(g2[0]) / scale, atol=5e-5)
     for a, b in zip(g1[1:], g2[1:]):
         np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_fold_zero_gradient_for_unreferenced_vertex():
+    """A vertex referenced by NO tet (possible after remeshing/import)
+    must get an exactly-zero energy gradient — the segmented-scan fold's
+    -1 sentinel; without it the fold aliased the previous vertex's
+    segment total (round-5 review finding, confirmed by repro)."""
+    import jax
+    import jax.numpy as jnp
+    from tssplat_tpu.mesh.spheres import tet_sphere
+    from tssplat_tpu.mesh.tetmesh import TetMesh
+    from tssplat_tpu.ops.energy import build_energy_ops, \
+        smooth_barrier_energy
+
+    v, t = tet_sphere(0.2, radius=0.3)
+    # append an isolated vertex no tet references
+    v2 = np.concatenate([v, np.asarray([[9.0, 9.0, 9.0]])], axis=0)
+
+    class M:
+        pass
+    mesh = TetMesh(v2, t)
+    ops = build_energy_ops(mesh)
+    x = jnp.asarray(v2, jnp.float32) * 1.03   # off rest state
+    g = jax.grad(lambda xx: smooth_barrier_energy(
+        xx, ops, 1.0, 1.0, jnp.int32(2)))(x)
+    assert float(jnp.abs(g[-1]).max()) == 0.0
+    # and a real vertex still gets a nonzero gradient
+    assert float(jnp.abs(g[:-1]).max()) > 0.0

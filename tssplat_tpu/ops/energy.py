@@ -74,7 +74,7 @@ class EnergyOps(NamedTuple):
     fold_src: Optional[jax.Array] = None   # (4T,) i32 — sort permutation
     fold_sv: Optional[jax.Array] = None    # (4T,) i32 — sorted vertex ids
     fold_last: Optional[jax.Array] = None  # (n,) i32 — segment end slot
-    fold_rounds: int = 0                   # ceil(log2(max degree))
+    # (-1 for vertices in no tet; the bwd masks them to zero)
 
 
 def build_energy_ops(tetmesh, dtype=jnp.float32,
@@ -130,10 +130,10 @@ def build_energy_ops(tetmesh, dtype=jnp.float32,
     inc_idx = np.full((n, D), 4 * T, np.int32)
     inc_idx[sorted_v, rank] = order_srt
 
-    rounds = 0
-    while (1 << rounds) < D:
-        rounds += 1
-    seg_last = (starts + counts - 1).astype(np.int32)    # counts >= 1
+    # -1 sentinel for vertices referenced by NO tet (possible after
+    # remeshing/import): their gradient is exactly zero; without the
+    # sentinel seg_last would alias the previous vertex's segment total
+    seg_last = np.where(counts > 0, starts + counts - 1, -1).astype(np.int32)
 
     return EnergyOps(
         tets=jnp.asarray(tetmesh.elem, dtype=jnp.int32),
@@ -147,7 +147,6 @@ def build_energy_ops(tetmesh, dtype=jnp.float32,
         fold_src=jnp.asarray(order_srt, dtype=jnp.int32),
         fold_sv=jnp.asarray(sorted_v, dtype=jnp.int32),
         fold_last=jnp.asarray(seg_last),
-        fold_rounds=rounds,
     )
 
 
@@ -331,7 +330,10 @@ def _sb_bwd_core9(g, res):
         s = 1 << r
         same = (fold_sv[s:] == fold_sv[:-s]).astype(c.dtype)[:, None]
         c = jnp.concatenate([c[:s], c[s:] + c[:-s] * same], axis=0)
-    gx = c[fold_last]                                     # (n,3)
+    # fold_last == -1 marks vertices in no tet: zero gradient (indexing
+    # with -1 would alias the LAST slot = the previous vertex's total)
+    gx = c[jnp.maximum(fold_last, 0)] \
+        * (fold_last >= 0).astype(c.dtype)[:, None]       # (n,3)
     return g * gx
 
 
@@ -420,9 +422,6 @@ def _sb_bwd(res, g):
     gx = flat[inc_idx[:, 0]]
     for k in range(1, D):
         gx = gx + flat[inc_idx[:, k]]
-
-    def f0(a):
-        return np.zeros(np.shape(a), jax.dtypes.float0)
 
     return (g * gx, g * es, g * eb, f0(order), f0(tets),
             jnp.zeros_like(dX_inv), f0(nbrs), jnp.zeros_like(nbr_mask),

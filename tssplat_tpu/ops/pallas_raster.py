@@ -377,8 +377,8 @@ def _face_zmin_q(sz, tri, corner, F, zlv):
     table's bucket-lower-bound row (_prepare_candidates) — the early-exit
     proof needs them consistent. Faces with invalid (w<=eps) vertices get
     garbage buckets; they are excluded from the key expansion by ``ok``
-    and depth-rejected in the kernel by the table's valid flag, so their
-    bucket value never matters."""
+    and depth-rejected in the kernel (inv_area == 0 exactly for invalid
+    faces), so their bucket value never matters."""
     if corner:
         zf = sz.reshape(F, 3)
     else:
@@ -603,7 +603,7 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
         vy = sy[tri]
         ok = v_ok[tri].all(axis=1)
 
-    # per-triangle screen table (F+1,12); row F = invalid dummy
+    # per-triangle screen table (F+1, 11 or 14); row F = invalid dummy
     if corner:
         zr = sz.reshape(F, 3)
         ax, bx, cx = vx[:, 0], vx[:, 1], vx[:, 2]
@@ -633,11 +633,11 @@ def _prepare_candidates(pos, tri, resolution, tile_h, tile_w, k,
     # of flat-path budget
     cols = [ax, ay, bx, by, cx, cy, z0, z1, z2, inv_area, zlb]
     if edge_nbrs is not None:
-        # R = 15, no trailing pad column: the kernels read channels
-        # 12..14 only, and the dropped zero row is worth 4*(F+1) bytes of
-        # SMEM — exactly what put the 12-sphere GSO-Mario scene (11016
-        # faces) over the flat-path budget and onto the ~8x-slower dense
-        # pre-gather path
+        # R = 14, no pad column (the kernels read neighbor channels
+        # 11..13): every dropped column is 4(F+1) bytes of SMEM — a pad
+        # column is exactly what once put the 12-sphere GSO-Mario scene
+        # (11016 faces) over the flat-path budget and onto the
+        # ~5x-slower dense pre-gather path
         en = edge_nbrs.astype(pos.dtype)
         cols += [en[:, 0], en[:, 1], en[:, 2]]
     R = len(cols)
@@ -750,7 +750,12 @@ def _rasterize_ids_pallas_jit(pos_clip: jnp.ndarray, tri: jnp.ndarray,
     med_cap = min(256, F)
     pool_cap = min(64, F)
     L = 4 * F + 32 * med_cap
-    flat_bytes = ((F + 1) * R + L + pool_cap) * 4
+    # + the batch-scaled scalar-prefetch arrays (counts/starts are
+    # (B*ntiles,) i32 and SMEM-resident in full): at B=8/ntiles=256 that
+    # is 16 KB, but a near-budget scene with a large UNCHUNKED batch
+    # would otherwise blow the 1.00 MB cap at compile time
+    prefetch_bytes = (2 * B * ntiles + B + 1) * 4
+    flat_bytes = ((F + 1) * R + L + pool_cap) * 4 + prefetch_bytes
     flat_mode = shared_tbl and flat_bytes <= _SMEM_TBL_BUDGET
     if not flat_mode:
         # trace-time (once per compile): the dense pre-gather fallback is

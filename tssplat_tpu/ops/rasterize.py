@@ -811,8 +811,8 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
     big = tri.shape[0] >= 512
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     vp = viewport if viewport is not None else (None, None)
+    from jax.ad_checkpoint import checkpoint_name
     if method == "pallas" or (method == "auto" and aligned and big and on_tpu):
-        from jax.ad_checkpoint import checkpoint_name
         from .pallas_raster import rasterize_ids_pallas
         ids, z, g_kernel, g_aux = rasterize_ids_pallas(
             pos_clip, tri, resolution, corner=corner, with_g=edge_nbrs,
@@ -836,7 +836,6 @@ def rasterize_silhouette_with_rows(pos_clip, tri, resolution, edge_nbrs,
     rast = rasterize_silhouette(pos_clip, tri, resolution, method=method,
                                 corner=corner, k=k, viewport=viewport,
                                 drops_out=drops_out)
-    from jax.ad_checkpoint import checkpoint_name
     return checkpoint_name(rast, "vis_out"), None
 
 
