@@ -98,3 +98,58 @@ def test_tile_flags_mark_silhouette_tiles_only():
     assert flags.shape[0] == ntiles
     # a convex silhouette at 128^2 must activate some but far from all
     assert 0 < flags.sum() < ntiles
+
+
+def test_halo_matches_dense_with_column_boundaries():
+    """W=256 creates a vertical tile boundary (cols 127|128) — the XLA
+    boundary pass owns those pairs; 128-wide scenes never exercise them."""
+    v, t = tet_sphere(0.12, radius=0.3)
+    mesh = TetMesh(v, t)
+    corner_vid = mesh.surface_vid[mesh.surface_fid].reshape(-1)
+    vc = jnp.asarray(mesh.vtx[corner_vid], jnp.float32)
+    F = mesh.surface_fid.shape[0]
+    tri_c = jnp.arange(3 * F, dtype=jnp.int32).reshape(F, 3)
+    nbrs = jnp.asarray(triangle_edge_neighbors(mesh.surface_fid), jnp.int32)
+    mvp, _, _ = fibonacci_views(2)
+    pos = transform_pos(jnp.asarray(mvp, jnp.float32), vc)
+    H, W = 64, 256
+    ids = rasterize_ids(pos, tri_c, (H, W))
+    # the silhouette must actually cross the x=128 tile boundary
+    idn = np.asarray(ids)
+    assert (idn[:, :, 127] != idn[:, :, 128]).any()
+
+    def build(pos_clip):
+        g16 = jnp.moveaxis(
+            _gather_tri_screen(pos_clip, tri_c, ids, edge_nbrs=nbrs,
+                               corner=True), -1, 1)
+        g6 = g16[:, :6]
+        gaux = jax.lax.stop_gradient(g16[:, 12:16])
+        z = jax.lax.stop_gradient(
+            rasterize(pos_clip, tri_c, (H, W), ids=ids,
+                      corner=True)[..., 2]) * (ids > 0)
+        alpha = jnp.clip(ids.astype(jnp.float32), 0.0, 1.0)[..., None]
+        rast = jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), z,
+                          ids.astype(jnp.float32)], axis=-1)
+        return alpha, rast, g6, gaux
+
+    def dense(p):
+        alpha, rast, g6, gaux = build(p)
+        return antialias(alpha, rast, p, tri_c, nbrs, corner=True,
+                         g_precomputed=(g6, gaux))
+
+    def halo(p):
+        alpha, rast, g6, gaux = build(p)
+        return antialias_silhouette_halo(alpha, rast, (g6, gaux),
+                                         interpret=True)
+
+    a, b = np.asarray(dense(pos)), np.asarray(halo(pos))
+    np.testing.assert_allclose(b, a, atol=1e-6)
+    tgt = jnp.asarray((idn > 0).astype(np.float32))[..., None] * 0.7
+    la, ga = jax.value_and_grad(
+        lambda p: jnp.mean((dense(p) - tgt) ** 2) * 100.0)(pos)
+    lb, gb = jax.value_and_grad(
+        lambda p: jnp.mean((halo(p) - tgt) ** 2) * 100.0)(pos)
+    np.testing.assert_allclose(float(lb), float(la), rtol=1e-6)
+    scale = max(np.abs(np.asarray(ga)).max(), 1e-12)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               atol=1e-5 * scale)
