@@ -29,6 +29,11 @@ cfg = ConfigDict({
              "world_size": 1, "rank": 0, "batch_size": 120,
              "total_num_iter": iters},
     "optimizer": {"type": "adam", "lr": 0.01},
+    # NOTE: 120 views x ~40k fg px = 4.8M points -> the per-level bucket
+    # tables are 8N rows x 16 levels ~= 5 GB of device uploads; one such
+    # run crashed the axon relay/worker (backend UNAVAILABLE for hours).
+    # The 4M default cap doubles as a worker-stability bound on that
+    # backend; raise it in smaller steps or use texture_sample_px.
     "texture_exact_max_px": 6_000_000,
     "output_path": out, "total_num_iter": iters,
     "use_permute_surface_v": False,
