@@ -72,17 +72,26 @@ def main():
     step = make_train_step(geo.statics, update_fn, fitting_stage="texture",
                            resolution=res, fit_depth=False, is_ortho=False,
                            material_fn=material.apply_fn, tet_v_frozen=tet_v)
-    state = TrainState(params=material.params,
+    # COPY params into the donated state: the step deletes them, and
+    # sections 3-5 below still read material.params
+    state = TrainState(params=jax.tree_util.tree_map(jnp.array,
+                                                     material.params),
                        opt_state=init_fn(material.params),
                        best_loss=jnp.asarray(jnp.inf, jnp.float32),
                        best_iter=jnp.zeros((), jnp.int32),
                        best_params=jax.tree_util.tree_map(jnp.array,
                                                           material.params))
 
-    def full(state):
-        s, out = step(state, batch, 10)
+    # the step DONATES its input state (train.py make_train_step) — thread
+    # the returned state through repeated calls or the second call reads a
+    # deleted buffer (runtime INVALID_ARGUMENT on axon, no detail)
+    holder = {"state": state}
+
+    def full(_):
+        s, out = step(holder["state"], batch, 10)
+        holder["state"] = s
         return out[0]
-    ms_full = timeit(full, state, iters=iters)
+    ms_full = timeit(full, None, iters=iters)
     print(f"full exact texture step:        {ms_full:9.1f} ms "
           f"({1000.0 / ms_full:.3f} it/s)", flush=True)
 
